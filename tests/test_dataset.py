@@ -1,0 +1,139 @@
+"""Dataset assembly tests on synthetic fixtures: shapes, masks, collation."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from vitxtgqa_tpu.core.config import build_config
+from vitxtgqa_tpu.data.builders import VTextGQABuilder
+from vitxtgqa_tpu.data.dataset import collate, polygon_to_xyxy, sample_frames
+from vitxtgqa_tpu.data.loader import DataLoader, EpochSampler
+
+FIXROOT = os.path.join(os.path.dirname(__file__), "fixtures", "data")
+
+
+@pytest.fixture(scope="session")
+def fixture_data(repo_root):
+    if not os.path.exists(os.path.join(FIXROOT, "vtextgqa")):
+        subprocess.run(
+            [sys.executable, os.path.join(repo_root, "tools", "make_fixtures.py"),
+             "--root", FIXROOT, "--feat_dim", "1024"],
+            check=True, cwd=repo_root,
+        )
+    return FIXROOT
+
+
+@pytest.fixture(scope="session")
+def ds_config(repo_root, fixture_data):
+    cfg = build_config(
+        os.path.join(repo_root, "configs", "t2s_abinet.yml"),
+        opts=[f"dataset_attributes.vtextgqa.data_root_dir={fixture_data}"],
+    )
+    return cfg.dataset_attributes.vtextgqa
+
+
+@pytest.fixture(scope="session")
+def val_dataset(ds_config):
+    return VTextGQABuilder().load("val", ds_config, seed=7)
+
+
+def test_sample_frames():
+    assert sample_frames([1, 2, 3], 5) == [1, 2, 3]
+    got = sample_frames(list(range(1, 131)), 64)
+    assert len(got) == 64 and got[0] == 1 and got[1] == 3  # step = 130//64 = 2
+
+
+def test_polygon_to_xyxy():
+    assert polygon_to_xyxy([1, 2, 9, 2, 9, 8, 1, 8]) == [1, 2, 9, 8]
+
+
+def test_sample_shapes(val_dataset):
+    s = val_dataset[0]
+    nv = val_dataset.answer_processor.get_vocab_size()
+    assert s["text"].shape == (20,)
+    assert s["video_feat"].shape == (64, 1024)
+    assert s["frame_id"].shape == (64,) and s["frame_mask"].shape == (64,)
+    assert s["ocr_bbox_coordinates"].shape == (960, 4)
+    assert s["track_id"].shape == (960,) and s["temporal_id"].shape == (960,)
+    assert s["context_feature_0"].shape == (960, 300)
+    assert s["context_feature_1"].shape == (960, 604)
+    assert s["targets"].shape == (12, nv)
+    assert s["train_prev_inds"].shape == (12,)
+    assert len(s["context_tokens"]) == 960
+
+
+def test_sample_mask_consistency(val_dataset):
+    s = val_dataset[0]
+    F = int(s["frame_num"])
+    assert (s["frame_mask"][:F] == 1).all() and (s["frame_mask"][F:] == 0).all()
+    assert (s["frame_id"][:F] > 0).all() and (s["frame_id"][F:] == 0).all()
+    # temporal ids of real frames' OCR slots equal that frame id
+    for fi in range(F):
+        block = s["temporal_id"][fi * 15 : (fi + 1) * 15]
+        assert (block == s["frame_id"][fi]).all()
+    # masked OCR slots are <pad> tokens with zero boxes
+    m = s["ocr_mask"].astype(bool)
+    toks = np.array(s["context_tokens"])
+    assert (toks[~m] == "<pad>").all()
+    assert (s["ocr_bbox_coordinates"][~m] == 0).all()
+    # normalised boxes within [0, 1]
+    assert s["ocr_bbox_coordinates"].min() >= 0
+    assert s["ocr_bbox_coordinates"].max() <= 1.0 + 1e-6
+
+
+def test_middle_frame_is_last_sampled(val_dataset):
+    s = val_dataset[0]
+    F = int(s["frame_num"])
+    assert s["middel_frame_id"][0] == s["frame_id"][F - 1]
+    # mid feature matches the stored frame feature
+    np.testing.assert_array_equal(s["mid_img_feat"][0], s["video_feat"][F - 1])
+
+
+def test_answer_targets_groundable(val_dataset):
+    # fixture answers come from OCR tokens -> loss mask must activate
+    active = 0
+    for i in range(len(val_dataset)):
+        s = val_dataset[i]
+        active += int(s["train_loss_mask"].sum() > 0)
+    assert active >= len(val_dataset) // 2
+
+
+def test_collate_and_loader(val_dataset):
+    loader = DataLoader(val_dataset, batch_size=3, shuffle=True, seed=0)
+    batch = next(iter(loader))
+    t, h = batch["tensors"], batch["host"]
+    assert t["video_feat"].shape == (3, 64, 1024)
+    assert t["targets"].shape[0] == 3
+    assert len(h["context_tokens"]) == 3 and len(h["context_tokens"][0]) == 960
+    assert h["dataset_name"] == "vtextgqa"
+    # epoch seeding changes order, same epoch is deterministic
+    s = EpochSampler(10, shuffle=True, seed=1)
+    s.set_epoch(0)
+    a = s.indices()
+    s.set_epoch(1)
+    b = s.indices()
+    assert a != b
+    s.set_epoch(0)
+    assert s.indices() == a
+
+
+def test_sampler_rank_sharding():
+    parts = []
+    for rank in range(4):
+        s = EpochSampler(10, shuffle=False, rank=rank, world_size=4)
+        parts.append(s.indices())
+    assert all(len(p) == 3 for p in parts)  # padded to 12
+    flat = sorted(i for p in parts for i in p)
+    assert set(flat) == set(range(10))
+
+
+def test_update_registry_for_model(val_dataset):
+    from vitxtgqa_tpu.core.registry import registry
+
+    val_dataset.update_registry_for_model()
+    nv = val_dataset.answer_processor.get_true_vocab_size()
+    assert registry.get("vtextgqa_num_final_outputs") == nv + 960
+    assert registry.get("vtextgqa_answer_processor") is not None

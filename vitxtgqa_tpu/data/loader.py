@@ -1,0 +1,158 @@
+"""Batched, shuffled, epoch-seeded data loading with device prefetch.
+
+Replaces torch DataLoader + DistributedSampler + BatchCollator
+(reference: pythia/datasets/multi_dataset.py:254-293, samplers.py:10-66).
+
+Design for TPU: the loader yields fixed-shape numpy batches on the host;
+`prefetch_to_device` overlaps host assembly with device compute by keeping a
+small queue of device-resident batches.  Sharding across processes follows
+the DistributedSampler contract (epoch-seeded permutation, pad to a
+world-size multiple, rank slice) so multi-host runs see disjoint data.
+"""
+
+from __future__ import annotations
+
+import collections
+import itertools
+import threading
+import queue as queue_mod
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from vitxtgqa_tpu.data.dataset import collate
+
+
+class EpochSampler:
+    """Epoch-seeded shuffled (or sequential) index sharding.
+
+    Same contract as the reference DistributedSampler (samplers.py:10-66):
+    permutation seeded by epoch, padded to a multiple of world size, sliced
+    by rank.
+    """
+
+    def __init__(
+        self,
+        n: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        rank: int = 0,
+        world_size: int = 1,
+    ):
+        self.n = n
+        self.shuffle = shuffle
+        self.seed = seed
+        self.rank = rank
+        self.world_size = world_size
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def indices(self) -> List[int]:
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            order = rng.permutation(self.n).tolist()
+        else:
+            order = list(range(self.n))
+        total = -(-self.n // self.world_size) * self.world_size
+        order += order[: total - len(order)]
+        return order[self.rank : total : self.world_size]
+
+
+class DataLoader:
+    """Assemble samples into collated fixed-shape batches.
+
+    `num_workers > 0` uses a thread pool for sample assembly (numpy releases
+    the GIL for the heavy parts: npy IO, PHOC C calls, vector lookups).
+    """
+
+    def __init__(
+        self,
+        dataset: Any,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+        rank: int = 0,
+        world_size: int = 1,
+        num_workers: int = 0,
+        collate_fn: Callable = collate,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn
+        self.num_workers = num_workers
+        self.sampler = EpochSampler(
+            len(dataset), shuffle=shuffle, seed=seed, rank=rank, world_size=world_size
+        )
+
+    def set_epoch(self, epoch: int) -> None:
+        self.sampler.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        n = len(self.sampler.indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _fetch(self, idx: int):
+        return self.dataset[idx]
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        indices = self.sampler.indices()
+        if self.num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for start in range(0, len(indices), self.batch_size):
+                    chunk = indices[start : start + self.batch_size]
+                    if self.drop_last and len(chunk) < self.batch_size:
+                        return
+                    yield self.collate_fn(list(pool.map(self._fetch, chunk)))
+        else:
+            for start in range(0, len(indices), self.batch_size):
+                chunk = indices[start : start + self.batch_size]
+                if self.drop_last and len(chunk) < self.batch_size:
+                    return
+                yield self.collate_fn([self._fetch(i) for i in chunk])
+
+
+def infinite_batches(loader: DataLoader) -> Iterator[Dict[str, Any]]:
+    """Epoch-incrementing endless iterator (the trainer counts iterations,
+    not epochs — reference: base_trainer.py:216-245)."""
+    for epoch in itertools.count():
+        loader.set_epoch(epoch)
+        yield from loader
+
+
+def prefetch_batches(
+    it: Iterator[Dict[str, Any]],
+    size: int = 2,
+    device_put: Optional[Callable] = None,
+) -> Iterator[Dict[str, Any]]:
+    """Background-thread prefetch; optionally device_put tensor subtrees.
+
+    Overlaps host-side batch assembly (and H2D transfer when `device_put`
+    is given) with device compute — the jnp equivalent of pin_memory +
+    non-blocking copies.
+    """
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=size)
+    sentinel = object()
+
+    def worker():
+        try:
+            for batch in it:
+                if device_put is not None:
+                    batch = dict(batch)
+                    batch["tensors"] = device_put(batch["tensors"])
+                q.put(batch)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
