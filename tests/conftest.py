@@ -7,12 +7,20 @@ initialises its backends, hence the os.environ writes at import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the outer environment pins JAX_PLATFORMS=axon (the tunnelled TPU
+# chip), which would make every test compile over the tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The image's sitecustomize registers the axon TPU backend and overwrites
+# jax_platforms at interpreter start — env vars alone don't win.  Re-pin it.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

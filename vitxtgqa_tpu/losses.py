@@ -1,0 +1,100 @@
+"""Loss registry (reference: pythia/modules/losses.py:41-385).
+
+Pure jnp functions with the reference semantics:
+  * pos_bce_loss — masked BCE-with-logits over the 12-step score matrix,
+    normalised by the active-step count (losses.py:323-343)
+  * InfoNCE — cosine(ref,pos) vs cosine(ref,neg) logits / tau=0.1, CE to
+    index 0 (losses.py:346-385)
+  * bce_loss — same as pos_bce_loss on "scores" (losses.py:300-320)
+
+`Losses` aggregates config-declared entries with weights into
+{"<type>/<dataset>/<name>": value} like the reference PythiaLoss wrapper
+(losses.py:112-173).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from vitxtgqa_tpu.core.registry import registry
+
+
+def _bce_with_logits(scores, targets):
+    """Numerically stable binary cross entropy with logits."""
+    return jnp.maximum(scores, 0) - scores * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(scores))
+    )
+
+
+def _masked_bce(scores, targets, loss_mask):
+    losses = _bce_with_logits(scores.astype(jnp.float32), targets)
+    losses = losses * loss_mask[..., None]
+    count = jnp.maximum(loss_mask.sum(), 1.0)
+    return losses.sum() / count
+
+
+@registry.register_loss("pos_bce_loss")
+def pos_bce_loss(batch, model_output, **_):
+    return _masked_bce(
+        model_output["pos_scores"], batch["targets"], batch["train_loss_mask"]
+    )
+
+
+@registry.register_loss("bce_loss")
+def bce_loss(batch, model_output, **_):
+    return _masked_bce(
+        model_output["scores"], batch["targets"], batch["train_loss_mask"]
+    )
+
+
+def _cosine(a, b, eps=1e-8):
+    num = jnp.sum(a * b, axis=-1)
+    den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
+    return num / jnp.maximum(den, eps)
+
+
+@registry.register_loss("InfoNCE")
+def info_nce(batch, model_output, temperature: float = 0.1, **_):
+    q = model_output["ref_scores"].astype(jnp.float32)
+    pos = model_output["pos_scores"].astype(jnp.float32)
+    neg = model_output["neg_scores"].astype(jnp.float32)
+
+    def flat_norm(x):
+        x = x / jnp.maximum(
+            jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12
+        )  # F.normalize over last dim first (reference: losses.py:367)
+        return x.reshape(x.shape[0], -1)
+
+    qf, pf, nf = flat_norm(q), flat_norm(pos), flat_norm(neg)
+    logits = jnp.stack([_cosine(qf, pf), _cosine(qf, nf)], axis=1) / temperature
+    logprobs = jax.nn.log_softmax(logits, axis=1)
+    return -logprobs[:, 0].mean()
+
+
+class Losses:
+    """Config-driven weighted loss collection."""
+
+    def __init__(self, loss_configs: List[Any], dataset_name: str = "vtextgqa"):
+        self.entries = []
+        for lc in loss_configs:
+            name = lc["type"] if isinstance(lc, dict) else lc.type
+            weight = float(
+                (lc.get("weight", 1.0) if isinstance(lc, dict) else getattr(lc, "weight", 1.0))
+                or 1.0
+            )
+            fn = registry._get_class("loss", name)
+            self.entries.append((name, weight, fn))
+        self.dataset_name = dataset_name
+
+    def __call__(self, batch, model_output) -> Dict[str, jax.Array]:
+        out = {}
+        for name, weight, fn in self.entries:
+            out[f"{self.dataset_name}/{name}"] = weight * fn(batch, model_output)
+        return out
+
+    def total(self, batch, model_output) -> jax.Array:
+        vals = self(batch, model_output)
+        return sum(vals.values()), vals

@@ -1,0 +1,299 @@
+"""Shared flax module library for every model in the zoo.
+
+The reference copy-pastes TextBert/MMT/OcrPtrNet/PrevPredEmbeddings into each
+model file (reference: t2s.py:521-757, m4c.py, transtr.py, ...).  Here they
+exist once, and the joint transformer supports both a full prefix-LM pass
+(training) and an encode-once / KV-cached scan decode (eval) — the single
+biggest algorithmic win over the reference, which re-runs the full 1056-token
+MMT 12 times (x3 mask variants) per eval batch (reference: t2s.py:315-354).
+
+Weight layouts follow BERT-base conventions (post-LN, gelu, 12 heads,
+intermediate 3072, LN eps 1e-12) so a torch->jax converter can load
+bert-base-uncased checkpoints (reference init: t2s.py:43-59).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vitxtgqa_tpu.ops.attention import merge_heads, mha, split_heads
+from vitxtgqa_tpu.ops.masks import NEG_INF
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    hidden_size: int = 768
+    num_hidden_layers: int = 3
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    layer_norm_eps: float = 1e-12
+    vocab_size: int = 30522
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, node: Any, dtype=jnp.float32) -> "TransformerConfig":
+        """Build from a BertConfig-style mapping/ConfigNode (partial
+        overrides).  Works on FrozenDict too (flax freezes dict-typed module
+        attributes)."""
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name == "dtype":
+                continue
+            val = cfg_get(node, f.name)
+            if val is not None:
+                kwargs[f.name] = val
+        return cls(dtype=dtype, **kwargs)
+
+
+def cfg_get(node: Any, key: str, default: Any = None) -> Any:
+    """Key lookup that tolerates ConfigNode, dict, and flax FrozenDict."""
+    try:
+        return node[key]
+    except (KeyError, TypeError, IndexError):
+        return getattr(node, key, default)
+
+
+class TransformerLayer(nn.Module):
+    """One post-LN BERT layer with optional KV export / cached decode."""
+
+    cfg: TransformerConfig
+
+    def setup(self):
+        c = self.cfg
+        dense = lambda name: nn.Dense(c.hidden_size, dtype=c.dtype, name=name)
+        self.query = dense("query")
+        self.key = dense("key")
+        self.value = dense("value")
+        self.attn_out = dense("attn_out")
+        self.attn_ln = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype, name="attn_ln")
+        self.ffn_in = nn.Dense(c.intermediate_size, dtype=c.dtype, name="ffn_in")
+        self.ffn_out = dense("ffn_out")
+        self.ffn_ln = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype, name="ffn_ln")
+        self.attn_drop = nn.Dropout(c.attention_probs_dropout_prob)
+        self.hidden_drop = nn.Dropout(c.hidden_dropout_prob)
+
+    def kv(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        h = self.cfg.num_attention_heads
+        return split_heads(self.key(x), h), split_heads(self.value(x), h)
+
+    def _finish(self, x_q, ctx, deterministic):
+        attn = self.hidden_drop(self.attn_out(ctx), deterministic=deterministic)
+        x = self.attn_ln(x_q + attn)
+        ffn = self.ffn_out(nn.gelu(self.ffn_in(x), approximate=False))
+        ffn = self.hidden_drop(ffn, deterministic=deterministic)
+        return self.ffn_ln(x + ffn)
+
+    def __call__(self, x, bias, deterministic: bool = True, return_kv: bool = False):
+        h = self.cfg.num_attention_heads
+        q = split_heads(self.query(x), h)
+        k, v = self.kv(x)
+        rng = None if deterministic else self.make_rng("dropout")
+        rate = 0.0 if deterministic else self.cfg.attention_probs_dropout_prob
+        ctx = merge_heads(mha(q, k, v, bias, dropout_rate=rate, dropout_rng=rng))
+        y = self._finish(x, ctx, deterministic)
+        return (y, (k, v)) if return_kv else y
+
+    def decode(self, x_t, k_all, v_all, bias_t, deterministic: bool = True):
+        """x_t: [B, 1, D] query token; k_all/v_all: [B, H, L, Dh] cached keys."""
+        h = self.cfg.num_attention_heads
+        q = split_heads(self.query(x_t), h)
+        ctx = merge_heads(mha(q, k_all, v_all, bias_t))
+        return self._finish(x_t, ctx, deterministic)
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of TransformerLayers (BertEncoder equivalent)."""
+
+    cfg: TransformerConfig
+
+    def setup(self):
+        self.layers = [
+            TransformerLayer(self.cfg, name=f"layer_{i}")
+            for i in range(self.cfg.num_hidden_layers)
+        ]
+
+    def __call__(self, x, bias, deterministic: bool = True):
+        for layer in self.layers:
+            x = layer(x, bias, deterministic)
+        return x
+
+    def encode_with_cache(self, x, bias, deterministic: bool = True):
+        """Returns (final hidden, [(k, v)] per layer computed from each
+        layer's input) for later cached decoding."""
+        kvs = []
+        for layer in self.layers:
+            x, kv = layer(x, bias, deterministic, return_kv=True)
+            kvs.append(kv)
+        return x, kvs
+
+    def decode_step(self, x_t, enc_kvs, dec_cache, step, bias_t,
+                    deterministic: bool = True):
+        """One cached decode step.
+
+        x_t: [B, 1, D]; enc_kvs: per-layer (k, v) over encoder tokens;
+        dec_cache: per-layer (k, v) [B, H, S, Dh] decoder cache;
+        step: scalar int32 position.  Returns (y_t, updated dec_cache).
+        """
+        new_cache = []
+        for layer, (ek, ev), (dk, dv) in zip(self.layers, enc_kvs, dec_cache):
+            k_t, v_t = layer.kv(x_t)  # [B, H, 1, Dh]
+            dk = jax.lax.dynamic_update_slice_in_dim(dk, k_t, step, axis=2)
+            dv = jax.lax.dynamic_update_slice_in_dim(dv, v_t, step, axis=2)
+            new_cache.append((dk, dv))
+            k_all = jnp.concatenate([ek, dk], axis=2)
+            v_all = jnp.concatenate([ev, dv], axis=2)
+            x_t = layer.decode(x_t, k_all, v_all, bias_t, deterministic)
+        return x_t, new_cache
+
+    def init_dec_cache(self, batch: int, dec_len: int):
+        c = self.cfg
+        dh = c.hidden_size // c.num_attention_heads
+        shape = (batch, c.num_attention_heads, dec_len, dh)
+        return [
+            (jnp.zeros(shape, c.dtype), jnp.zeros(shape, c.dtype))
+            for _ in range(c.num_hidden_layers)
+        ]
+
+
+class BertEmbeddings(nn.Module):
+    """Word + position + token-type embeddings with LN and dropout."""
+
+    cfg: TransformerConfig
+
+    def setup(self):
+        c = self.cfg
+        self.word_embeddings = nn.Embed(c.vocab_size, c.hidden_size, dtype=c.dtype)
+        self.position_embeddings = nn.Embed(
+            c.max_position_embeddings, c.hidden_size, dtype=c.dtype
+        )
+        self.token_type_embeddings = nn.Embed(
+            c.type_vocab_size, c.hidden_size, dtype=c.dtype
+        )
+        self.ln = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype)
+        self.drop = nn.Dropout(c.hidden_dropout_prob)
+
+    def __call__(self, input_ids, deterministic: bool = True):
+        b, l = input_ids.shape
+        pos = jnp.arange(l)[None, :]
+        x = (
+            self.word_embeddings(input_ids)
+            + self.position_embeddings(pos)
+            + self.token_type_embeddings(jnp.zeros_like(input_ids))
+        )
+        return self.drop(self.ln(x), deterministic=deterministic)
+
+
+class TextEncoder(nn.Module):
+    """Question encoder: BertEmbeddings + N layers (TextBert,
+    reference: t2s.py:521-545)."""
+
+    cfg: TransformerConfig
+
+    def setup(self):
+        self.embeddings = BertEmbeddings(self.cfg)
+        self.encoder = TransformerEncoder(self.cfg)
+
+    def __call__(self, txt_inds, txt_mask, deterministic: bool = True):
+        x = self.embeddings(txt_inds, deterministic)
+        bias = (1.0 - txt_mask)[:, None, None, :] * NEG_INF
+        return self.encoder(x, bias, deterministic)
+
+
+class PrevPredEmbeddings(nn.Module):
+    """Decoder-slot embeddings from previous predictions
+    (reference: t2s.py:673-723)."""
+
+    cfg: TransformerConfig
+    MAX_DEC_LENGTH: int = 100
+    MAX_TYPE_NUM: int = 5
+
+    def setup(self):
+        c = self.cfg
+        self.position_embeddings = nn.Embed(
+            self.MAX_DEC_LENGTH, c.hidden_size, dtype=c.dtype
+        )
+        self.token_type_embeddings = nn.Embed(
+            self.MAX_TYPE_NUM, c.hidden_size, dtype=c.dtype
+        )
+        self.ans_ln = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype)
+        self.ocr_ln = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype)
+        self.emb_ln = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype)
+        self.drop = nn.Dropout(c.hidden_dropout_prob)
+
+    def __call__(self, ans_emb, ocr_emb, prev_inds, deterministic: bool = True,
+                 position_offset: int = 0):
+        """ans_emb [V, D] fixed-vocab table; ocr_emb [B, N, D]; prev_inds
+        [B, S] (S may be 1 for cached decode with position_offset=t)."""
+        b, s = prev_inds.shape
+        ans_num = ans_emb.shape[0]
+        ans = self.ans_ln(ans_emb)[None].astype(ocr_emb.dtype)
+        ocr = self.ocr_ln(ocr_emb)
+        table = jnp.concatenate([jnp.broadcast_to(ans, (b,) + ans.shape[1:]), ocr], axis=1)
+        raw = jnp.take_along_axis(table, prev_inds[..., None], axis=1)
+
+        positions = jnp.arange(s)[None, :] + position_offset
+        token_type = (prev_inds >= ans_num).astype(jnp.int32)
+        emb = self.position_embeddings(positions) + self.token_type_embeddings(token_type)
+        emb = self.drop(self.emb_ln(emb), deterministic=deterministic)
+        return raw + emb
+
+
+class OcrPtrNet(nn.Module):
+    """Dynamic OCR-copy scores (reference: t2s.py:636-670).
+
+    NOTE: faithfully reproduces the reference quirk of adding the *raw 0/1*
+    OCR mask to the scores (valid slots get +1) rather than a -10000 mask.
+    """
+
+    hidden_size: int
+    query_key_size: int = 0
+
+    @nn.compact
+    def __call__(self, query_inputs, key_inputs, attention_mask):
+        qk = self.query_key_size or self.hidden_size
+        q = nn.Dense(qk, name="query")(query_inputs)
+        k = nn.Dense(qk, name="key")(key_inputs)
+        scores = jnp.einsum(
+            "bsd,bnd->bsn", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(qk, jnp.float32))
+        return scores + attention_mask[:, None, :].astype(scores.dtype)
+
+
+class FixedVocabClassifier(nn.Module):
+    """Linear classifier whose weight doubles as the fixed-answer embedding
+    table for PrevPredEmbeddings (the reference passes
+    classifier.module.weight, t2s.py:275; ClassifierLayer at layers.py:91-109).
+    """
+
+    out_dim: int
+    in_dim: int = 768
+
+    def setup(self):
+        self.weight = self.param(
+            "weight",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (self.out_dim, self.in_dim),
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+
+    def __call__(self, x):
+        return (
+            jnp.einsum(
+                "...d,vd->...v", x, self.weight,
+                preferred_element_type=jnp.float32,
+            )
+            + self.bias
+        )
+
+    def table(self) -> jax.Array:
+        """[out_dim, in_dim] embedding table view of the classifier weight."""
+        return self.weight

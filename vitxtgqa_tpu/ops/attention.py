@@ -1,0 +1,69 @@
+"""Multi-head attention core, shared by every transformer in the framework.
+
+Single implementation behind a stable signature so the jnp einsum path can be
+swapped for the fused Pallas kernel (vitxtgqa_tpu/ops/pallas_attention.py)
+without touching model code.  The reference instead instantiates HF
+BertEncoder stacks per model file (reference: t2s.py:548-633 etc.).
+
+All matmuls carry `preferred_element_type=float32` so bf16 activations
+accumulate in fp32 on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_PALLAS_MIN_KV = 512  # below this the fused kernel gains nothing
+
+
+def mha(
+    q: jax.Array,  # [B, H, Lq, Dh]
+    k: jax.Array,  # [B, H, Lk, Dh]
+    v: jax.Array,  # [B, H, Lk, Dh]
+    bias: Optional[jax.Array] = None,  # broadcastable to [B, H, Lq, Lk]
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Scaled dot-product attention; returns [B, H, Lq, Dh]."""
+    if (
+        use_pallas
+        and dropout_rate == 0.0
+        and k.shape[2] >= _PALLAS_MIN_KV
+        and q.shape[2] > 1
+    ):
+        from vitxtgqa_tpu.ops.pallas_attention import fused_attention
+
+        return fused_attention(q, k, v, bias)
+    return mha_reference(q, k, v, bias, dropout_rate, dropout_rng)
+
+
+def mha_reference(q, k, v, bias=None, dropout_rate=0.0, dropout_rng=None):
+    dh = q.shape[-1]
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    probs = probs.astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """[B, L, D] -> [B, H, L, D/H]."""
+    b, l, d = x.shape
+    return x.reshape(b, l, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    """[B, H, L, Dh] -> [B, L, D]."""
+    b, h, l, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * dh)

@@ -1,0 +1,67 @@
+"""Attention-mask builders for the joint multimodal transformer.
+
+The reference builds additive -10000 masks eagerly per forward
+(reference: pythia/models/t2s.py:600-619 prefix-LM + causal decoder block,
+t2s.py:726-742 helpers).  Here they are pure jnp functions with static
+shapes, shared by every model.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+NEG_INF = -10000.0  # BERT-style additive mask value (kept for parity)
+
+
+def length_mask(lengths, max_len: int):
+    """[B] lengths -> [B, max_len] float mask, 1 on valid positions
+    (reference: t2s.py:726-732)."""
+    ar = jnp.arange(max_len)[None, :]
+    return (ar < lengths[:, None]).astype(jnp.float32)
+
+
+def causal_mask(n: int):
+    """[n, n] lower-triangular float mask (reference: t2s.py:735-742)."""
+    return jnp.tril(jnp.ones((n, n), dtype=jnp.float32))
+
+
+def self_attention_bias(key_mask):
+    """[B, L] key mask -> [B, 1, 1, L] additive bias (broadcasts over heads
+    and query positions).  Used by TextBert/QTV-style full self-attention."""
+    return (1.0 - key_mask)[:, None, None, :] * NEG_INF
+
+
+def prefix_lm_bias(enc_mask, dec_len: int):
+    """Joint prefix-LM + causal-decoder additive bias.
+
+    enc_mask: [B, Lenc] validity of encoder tokens (txt|obj|ocr concatenated).
+    Returns [B, 1, Lenc+dec, Lenc+dec] bias where:
+      - every row attends to valid encoder tokens,
+      - no row attends to decoder tokens except decoder rows causally.
+    (reference: t2s.py:600-619)
+    """
+    b, lenc = enc_mask.shape
+    total = lenc + dec_len
+    key_mask = jnp.concatenate(
+        [enc_mask, jnp.zeros((b, dec_len), enc_mask.dtype)], axis=1
+    )  # [B, total]
+    full = jnp.broadcast_to(key_mask[:, None, :], (b, total, total))
+    dec_block = causal_mask(dec_len)
+    full = full.at[:, lenc:, lenc:].set(
+        jnp.broadcast_to(dec_block[None], (b, dec_len, dec_len))
+    )
+    return ((1.0 - full) * NEG_INF)[:, None, :, :]
+
+
+def decode_step_bias(enc_mask, step, dec_len: int):
+    """Bias for one cached decode step: [B, 1, 1, Lenc+dec_len].
+
+    The single query row (decoder position `step`) attends to valid encoder
+    tokens and to decoder cache positions <= step.
+    """
+    b, lenc = enc_mask.shape
+    dec_ok = (jnp.arange(dec_len)[None, :] <= step).astype(enc_mask.dtype)
+    key_mask = jnp.concatenate(
+        [enc_mask, jnp.broadcast_to(dec_ok, (b, dec_len))], axis=1
+    )
+    return (1.0 - key_mask)[:, None, None, :] * NEG_INF
