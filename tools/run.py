@@ -1,0 +1,40 @@
+"""CLI entry point (reference: tools/run.py:67-88).
+
+  python tools/run.py --config configs/t2s_abinet.yml --model t2s \
+      --datasets vtextgqa --run_type train [opts...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import vitxtgqa_tpu
+from vitxtgqa_tpu.core.config import build_config
+from vitxtgqa_tpu.core.flags import get_parser
+from vitxtgqa_tpu.core.registry import registry
+
+
+def run(argv=None):
+    vitxtgqa_tpu.setup_imports()
+    args = get_parser().parse_args(argv)
+    if not args.config:
+        raise SystemExit("--config is required")
+
+    cfg = build_config(args.config, opts=args.opts, args=args,
+                       config_override=args.config_override)
+    registry.register("config", cfg)
+
+    trainer_cls = registry.get_trainer_class(
+        getattr(cfg.training_parameters, "trainer", "base_trainer")
+    )
+    trainer = trainer_cls(cfg)
+    trainer.load()
+    trainer.train()
+    return trainer
+
+
+if __name__ == "__main__":
+    run()

@@ -18,15 +18,25 @@ def setup_imports() -> None:
     Explicit manifest instead of the reference's filesystem glob-import
     (reference: tools/run.py:13-64).
     """
-    import vitxtgqa_tpu.data.processors  # noqa: F401
-    import vitxtgqa_tpu.data.builders  # noqa: F401
-    import vitxtgqa_tpu.losses  # noqa: F401
-    import vitxtgqa_tpu.metrics.metrics  # noqa: F401
-    import vitxtgqa_tpu.models.t2s  # noqa: F401
-    import vitxtgqa_tpu.models.t2s_ablations  # noqa: F401
-    import vitxtgqa_tpu.models.m4c  # noqa: F401
-    import vitxtgqa_tpu.models.t5vitevqa  # noqa: F401
-    import vitxtgqa_tpu.models.transtr  # noqa: F401
-    import vitxtgqa_tpu.models.mist  # noqa: F401
-    import vitxtgqa_tpu.models.gt_box  # noqa: F401
-    import vitxtgqa_tpu.training.trainer  # noqa: F401
+    import importlib
+
+    modules = [
+        "vitxtgqa_tpu.data.processors",
+        "vitxtgqa_tpu.data.builders",
+        "vitxtgqa_tpu.losses",
+        "vitxtgqa_tpu.metrics.metrics",
+        "vitxtgqa_tpu.models.t2s",
+        "vitxtgqa_tpu.models.t2s_ablations",
+        "vitxtgqa_tpu.models.m4c",
+        "vitxtgqa_tpu.models.t5vitevqa",
+        "vitxtgqa_tpu.models.transtr",
+        "vitxtgqa_tpu.models.mist",
+        "vitxtgqa_tpu.models.gt_box",
+        "vitxtgqa_tpu.training.trainer",
+    ]
+    for mod in modules:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            if not e.name.startswith("vitxtgqa_tpu"):
+                raise  # real missing dependency, not a not-yet-built model

@@ -276,12 +276,18 @@ class Configuration:
 
     def update_with_args(self, args: Any, extra_args_only: bool = False) -> None:
         """Fold argparse namespace values into any matching key in the tree."""
+        # identity flags only ever live at the top level; deep-updating them
+        # would clobber unrelated same-named keys (e.g. the mesh `model` axis)
+        top_level_only = ("model", "datasets", "tasks")
         for key, value in vars(args).items():
             if key in ("opts", "config_override", "config"):
                 continue
             if value is None:
                 continue
-            update_key_everywhere(self._dict, key, value)
+            if key in top_level_only:
+                self._dict[key] = value
+            else:
+                update_key_everywhere(self._dict, key, value)
 
     def _update_specific(self) -> None:
         tp = self._dict.setdefault("training_parameters", {})

@@ -78,12 +78,17 @@ class DataLoader:
         world_size: int = 1,
         num_workers: int = 0,
         collate_fn: Callable = collate,
+        pad_last: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.drop_last = drop_last
         self.collate_fn = collate_fn
         self.num_workers = num_workers
+        # pad the final partial batch to full size (repeating trailing
+        # samples) so every batch has one static shape — no recompiles and
+        # clean mesh sharding; host["n_valid"] records the real count
+        self.pad_last = pad_last
         self.sampler = EpochSampler(
             len(dataset), shuffle=shuffle, seed=seed, rank=rank, world_size=world_size
         )
@@ -98,23 +103,35 @@ class DataLoader:
     def _fetch(self, idx: int):
         return self.dataset[idx]
 
+    def _emit(self, samples: List[Any], n_real: int) -> Dict[str, Any]:
+        batch = self.collate_fn(samples)
+        batch["host"]["n_valid"] = n_real
+        return batch
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         indices = self.sampler.indices()
         if self.num_workers > 0:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for start in range(0, len(indices), self.batch_size):
-                    chunk = indices[start : start + self.batch_size]
-                    if self.drop_last and len(chunk) < self.batch_size:
-                        return
-                    yield self.collate_fn(list(pool.map(self._fetch, chunk)))
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            fetch = lambda chunk: list(pool.map(self._fetch, chunk))
         else:
+            pool = None
+            fetch = lambda chunk: [self._fetch(i) for i in chunk]
+        try:
             for start in range(0, len(indices), self.batch_size):
                 chunk = indices[start : start + self.batch_size]
-                if self.drop_last and len(chunk) < self.batch_size:
-                    return
-                yield self.collate_fn([self._fetch(i) for i in chunk])
+                n_real = len(chunk)
+                if n_real < self.batch_size:
+                    if self.drop_last:
+                        return
+                    if self.pad_last:
+                        pad = [chunk[-1]] * (self.batch_size - n_real)
+                        chunk = chunk + pad
+                yield self._emit(fetch(chunk), n_real)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
 
 def infinite_batches(loader: DataLoader) -> Iterator[Dict[str, Any]]:

@@ -88,9 +88,11 @@ def decode_answers(
 def _qa_predictions(tensors, output, host, ctx):
     pred_inds = np.asarray(output["pos_scores"]).argmax(-1)
     preds = decode_answers(pred_inds, host["context_tokens"], ctx.answer_processor)
+    # score against the tiled-to-10 answer list, like the reference's
+    # gt_answers_enc (vtextgqa/dataset.py:290-298, metrics.py:212)
+    gts = host.get("answers_tiled") or host["gt_answers"]
     return [
-        {"pred_answer": p, "gt_answers": g}
-        for p, g in zip(preds, host["gt_answers"])
+        {"pred_answer": p, "gt_answers": g} for p, g in zip(preds, gts)
     ]
 
 

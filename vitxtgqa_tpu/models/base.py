@@ -1,0 +1,117 @@
+"""Shared joint-transformer + pointer-decode harness for all QA models.
+
+Every videoqa model in the reference re-implements the same MMT forward and
+greedy decode loop per file (reference: t2s.py:265-354, m4c.py:260-310,
+t5vitevqa.py, transtr.py, ...).  Here the harness exists once; models
+subclass and provide the modality encodings and grounding mechanism.
+
+The harness supports `n_variants` mask variants folded into the batch dim
+(T2S uses 3 for ref/pos/neg contrastive passes; baselines use 1), with the
+greedy argmax driven by `argmax_variant`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vitxtgqa_tpu.ops.masks import (
+    decode_step_bias,
+    prefix_lm_bias,
+    self_attention_bias,
+)
+
+
+def l2_normalize(x, axis=-1, eps=1e-12):
+    """F.normalize equivalent: x / max(||x||, eps)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+class JointQAModel(nn.Module):
+    """Mixin-style base: subclasses must create in setup():
+    self.mmt (TransformerEncoder), self.prev_pred_embeddings,
+    self.classifier (FixedVocabClassifier), self.ocr_ptr_net, and define
+    bos_idx.  The decode harness then works unchanged."""
+
+    def _scores(self, dec_out, ocr_out, ocr_mask):
+        fixed = self.classifier(dec_out)
+        dynamic = self.ocr_ptr_net(dec_out, ocr_out, ocr_mask)
+        return jnp.concatenate([fixed, dynamic], axis=-1)
+
+    def _mmt_full(self, txt, obj, ocr, enc_mask, ocr_masks, prev_inds,
+                  deterministic: bool):
+        """Single prefix-LM pass with teacher forcing (training path)."""
+        dec_len = prev_inds.shape[1]
+        dec_emb = self.prev_pred_embeddings(
+            self.classifier.table(), ocr, prev_inds, deterministic
+        )
+        x = jnp.concatenate([txt, obj, ocr, dec_emb], axis=1)
+        bias = prefix_lm_bias(enc_mask, dec_len)
+        h = self.mmt(x, bias, deterministic)
+        n_ocr = ocr.shape[1]
+        ocr_out = h[:, -dec_len - n_ocr : -dec_len]
+        dec_out = h[:, -dec_len:]
+        return self._scores(dec_out, ocr_out, ocr_masks)
+
+    def _greedy_decode(self, txt, obj, ocr, enc_mask, ocr_masks, dec_len: int,
+                       n_variants: int = 1, argmax_variant: int = 0):
+        """Encode once, then KV-cached greedy lax.scan (eval path)."""
+        bN = txt.shape[0]
+        b = bN // n_variants
+        x = jnp.concatenate([txt, obj, ocr], axis=1)
+        enc_h, enc_kvs = self.mmt.encode_with_cache(
+            x, self_attention_bias(enc_mask), deterministic=True
+        )
+        n_ocr = ocr.shape[1]
+        ocr_out = enc_h[:, -n_ocr:]
+        dec_cache = self.mmt.init_dec_cache(bN, dec_len)
+        ans_table = self.classifier.table()
+        lo = argmax_variant * b
+
+        def step(carry, t):
+            prev_tok, cache = carry
+            dec_emb_t = self.prev_pred_embeddings(
+                ans_table, ocr, prev_tok[:, None],
+                deterministic=True, position_offset=t,
+            )
+            bias_t = decode_step_bias(enc_mask, t, dec_len)
+            y_t, cache = self.mmt.decode_step(
+                dec_emb_t, enc_kvs, cache, t, bias_t, deterministic=True
+            )
+            scores_t = self._scores(y_t, ocr_out, ocr_masks)[:, 0, :]
+            nxt = jnp.argmax(scores_t[lo : lo + b], axis=-1)
+            nxtN = jnp.concatenate([nxt] * n_variants, axis=0)
+            return (nxtN, cache), scores_t
+
+        bos = jnp.full((bN,), self.bos_idx, dtype=jnp.int32)
+        (_, _), scores_steps = jax.lax.scan(
+            step, (bos, dec_cache), jnp.arange(dec_len)
+        )
+        return jnp.transpose(scores_steps, (1, 0, 2))  # [bN, S, V+N]
+
+    def _recompute_decode(self, txt, obj, ocr, enc_mask, ocr_masks,
+                          dec_len: int, n_variants: int = 1,
+                          argmax_variant: int = 0):
+        """Reference-style greedy decode (full MMT per step, t2s.py:315-354);
+        the parity oracle for the cached scan path."""
+        bN = txt.shape[0]
+        b = bN // n_variants
+        lo = argmax_variant * b
+        prev_inds = jnp.zeros((bN, dec_len), dtype=jnp.int32)
+        prev_inds = prev_inds.at[:, 0].set(self.bos_idx)
+        scores = None
+        for _ in range(dec_len):
+            scores = self._mmt_full(
+                txt, obj, ocr, enc_mask, ocr_masks, prev_inds,
+                deterministic=True,
+            )
+            argmax = jnp.argmax(scores[lo : lo + b], axis=-1)
+            argmaxN = jnp.concatenate([argmax] * n_variants, axis=0)
+            prev_inds = prev_inds.at[:, 1:].set(
+                argmaxN[:, :-1].astype(jnp.int32)
+            )
+        return scores

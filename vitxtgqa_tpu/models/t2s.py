@@ -34,6 +34,7 @@ from vitxtgqa_tpu.models.common import (
     TransformerConfig,
     TransformerEncoder,
 )
+from vitxtgqa_tpu.models.base import JointQAModel, l2_normalize
 from vitxtgqa_tpu.models.grounding import GroundingModule
 from vitxtgqa_tpu.ops.masks import (
     decode_step_bias,
@@ -43,14 +44,8 @@ from vitxtgqa_tpu.ops.masks import (
 )
 
 
-def l2_normalize(x, axis=-1, eps=1e-12):
-    """F.normalize equivalent: x / max(||x||, eps)."""
-    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
-    return x / jnp.maximum(norm, eps)
-
-
 @registry.register_model("t2s")
-class T2S(nn.Module):
+class T2S(JointQAModel):
     config: Any  # model_attributes.t2s ConfigNode
     num_final_outputs: int  # fixed vocab + ocr copy space
     bos_idx: int = 2
@@ -149,12 +144,6 @@ class T2S(nn.Module):
         ocr_in = ocr_in + jnp.tanh(h[:, lt + lo :])
         return txt_emb, obj_in, ocr_in
 
-    # ---- scoring ----------------------------------------------------------
-    def _scores(self, dec_out, ocr_out, ocr_mask):
-        fixed = self.classifier(dec_out)
-        dynamic = self.ocr_ptr_net(dec_out, ocr_out, ocr_mask)
-        return jnp.concatenate([fixed, dynamic], axis=-1)
-
     # ---- forward ----------------------------------------------------------
     def __call__(self, batch: Dict[str, jax.Array], train: bool = False):
         deterministic = not train
@@ -192,14 +181,14 @@ class T2S(nn.Module):
             )
         else:
             dec_len = batch["train_prev_inds"].shape[1]
-            if self.decode_recompute:
-                scores3 = self._recompute_decode(
-                    txt3, obj3, ocr3, enc_mask3, ocr_masks, dec_len, b
-                )
-            else:
-                scores3 = self._greedy_decode(
-                    txt3, obj3, ocr3, enc_mask3, ocr_masks, dec_len
-                )
+            decode = (
+                self._recompute_decode if self.decode_recompute
+                else self._greedy_decode
+            )
+            scores3 = decode(
+                txt3, obj3, ocr3, enc_mask3, ocr_masks, dec_len,
+                n_variants=3, argmax_variant=1,
+            )
 
         ref, pos, neg = jnp.split(scores3, 3, axis=0)
         return {
@@ -211,76 +200,6 @@ class T2S(nn.Module):
             "frame_topk": jnp.asarray(self.grounding.frame_topk),
             "ocr_topk": jnp.asarray(self.grounding.ocr_topk),
         }
-
-    def _mmt_full(self, txt, obj, ocr, enc_mask, ocr_masks, prev_inds,
-                  deterministic: bool):
-        """Single prefix-LM pass with teacher forcing (training path)."""
-        dec_len = prev_inds.shape[1]
-        dec_emb = self.prev_pred_embeddings(
-            self.classifier.table(), ocr, prev_inds, deterministic
-        )
-        x = jnp.concatenate([txt, obj, ocr, dec_emb], axis=1)
-        bias = prefix_lm_bias(enc_mask, dec_len)
-        h = self.mmt(x, bias, deterministic)
-        n_ocr = ocr.shape[1]
-        ocr_out = h[:, -dec_len - n_ocr : -dec_len]
-        dec_out = h[:, -dec_len:]
-        return self._scores(dec_out, ocr_out, ocr_masks)
-
-    def _greedy_decode(self, txt, obj, ocr, enc_mask, ocr_masks, dec_len: int):
-        """Encode once, then KV-cached greedy scan (eval path)."""
-        b3 = txt.shape[0]
-        b = b3 // 3
-        x = jnp.concatenate([txt, obj, ocr], axis=1)
-        enc_h, enc_kvs = self.mmt.encode_with_cache(
-            x, self_attention_bias(enc_mask), deterministic=True
-        )
-        n_ocr = ocr.shape[1]
-        ocr_out = enc_h[:, -n_ocr:]
-        dec_cache = self.mmt.init_dec_cache(b3, dec_len)
-        ans_table = self.classifier.table()
-
-        def step(carry, t):
-            prev_tok, cache = carry
-            dec_emb_t = self.prev_pred_embeddings(
-                ans_table, ocr, prev_tok[:, None],
-                deterministic=True, position_offset=t,
-            )
-            bias_t = decode_step_bias(enc_mask, t, dec_len)
-            y_t, cache = self.mmt.decode_step(
-                dec_emb_t, enc_kvs, cache, t, bias_t, deterministic=True
-            )
-            scores_t = self._scores(y_t, ocr_out, ocr_masks)[:, 0, :]
-            # greedy argmax on the pos variant drives all three streams
-            # (reference: t2s.py:353-354 uses pos_scores)
-            nxt = jnp.argmax(scores_t[b : 2 * b], axis=-1)
-            nxt3 = jnp.concatenate([nxt, nxt, nxt], axis=0)
-            return (nxt3, cache), scores_t
-
-        bos = jnp.full((b3,), self.bos_idx, dtype=jnp.int32)
-        (_, _), scores_steps = jax.lax.scan(
-            step, (bos, dec_cache), jnp.arange(dec_len)
-        )
-        return jnp.transpose(scores_steps, (1, 0, 2))  # [3B, S, V+N]
-
-    def _recompute_decode(self, txt, obj, ocr, enc_mask, ocr_masks,
-                          dec_len: int, b: int):
-        """Reference-style greedy decode: re-run the full MMT each step with
-        updated prev_inds (t2s.py:315-354).  Used as the parity oracle for
-        the cached scan path."""
-        b3 = txt.shape[0]
-        prev_inds = jnp.zeros((b3, dec_len), dtype=jnp.int32)
-        prev_inds = prev_inds.at[:, 0].set(self.bos_idx)
-        scores3 = None
-        for _ in range(dec_len):
-            scores3 = self._mmt_full(
-                txt, obj, ocr, enc_mask, ocr_masks, prev_inds,
-                deterministic=True,
-            )
-            argmax = jnp.argmax(scores3[b : 2 * b], axis=-1)
-            argmax3 = jnp.concatenate([argmax, argmax, argmax], axis=0)
-            prev_inds = prev_inds.at[:, 1:].set(argmax3[:, :-1].astype(jnp.int32))
-        return scores3
 
 
 def build_t2s(config_node: Any, dataset_name: str = "vtextgqa",

@@ -1,0 +1,491 @@
+"""Training/eval orchestration (reference: pythia/trainers/base_trainer.py:26-489).
+
+TPU-native loop design:
+  * one jitted `train_step` (forward + loss + grad + optax update) with the
+    batch sharded over the mesh `data` axis — XLA inserts the gradient
+    all-reduce over ICI (replaces DataParallel/DDP+NCCL,
+    base_trainer.py:51-137);
+  * one jitted `eval_step` running the KV-cached greedy decode;
+  * host-side: metering, logging cadence (log_interval probe +
+    snapshot_interval full validation), early stopping, checkpointing,
+    evalai prediction dumps — same cadence contract as the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vitxtgqa_tpu.core.config import ConfigNode
+from vitxtgqa_tpu.core.meter import Meter
+from vitxtgqa_tpu.core.registry import registry
+from vitxtgqa_tpu.data.loader import DataLoader, infinite_batches
+from vitxtgqa_tpu.losses import Losses
+from vitxtgqa_tpu.metrics.metrics import MetricContext, Metrics, decode_answers
+from vitxtgqa_tpu.parallel.mesh import (
+    batch_shardings,
+    build_mesh,
+    param_shardings,
+    replicated,
+)
+from vitxtgqa_tpu.training.checkpoint import Checkpoint
+from vitxtgqa_tpu.training.early_stopping import EarlyStopping
+from vitxtgqa_tpu.training.optim import build_optimizer
+from vitxtgqa_tpu.utils.logger import Logger
+from vitxtgqa_tpu.utils.timer import Timer
+
+DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
+
+
+def build_model(model_key: str, model_cfg: Any, dataset_name: str,
+                compute_dtype=jnp.float32):
+    """Instantiate a registered model with registry-resolved head sizes
+    (reference wiring: build_utils.py:38-51, vqa2/builder.py:40-48)."""
+    cls = registry.get_model_class(model_key)
+    num_final = registry.get(f"{dataset_name}_num_final_outputs")
+    proc = registry.get(f"{dataset_name}_answer_processor")
+    return cls(
+        config=model_cfg,
+        num_final_outputs=int(num_final),
+        bos_idx=int(proc.BOS_IDX),
+        compute_dtype=compute_dtype,
+    )
+
+
+@registry.register_trainer("base_trainer")
+class BaseTrainer:
+    def __init__(self, config: ConfigNode):
+        self.config = config
+        self.tp = config.training_parameters
+        self.run_type = getattr(self.tp, "run_type", "train+inference")
+        self.profiler = Timer()
+
+    # ------------------------------------------------------------------ load
+    def load(self):
+        tp = self.tp
+        self.seed = int(getattr(tp, "seed", None) or 1)
+        self.dataset_name = (
+            self.config.datasets.split(",")[0]
+            if isinstance(self.config.datasets, str)
+            else self.config.datasets[0]
+        )
+        self.ds_cfg = self.config.dataset_attributes[self.dataset_name]
+
+        save_dir = getattr(tp, "save_dir", "./save")
+        self.logger = Logger(
+            save_dir, level=getattr(tp, "logger_level", "info"),
+            should_log=not getattr(tp, "should_not_log", False),
+        )
+        self.writer = self.logger
+        registry.register("writer", self.logger)
+
+        self._load_datasets()
+        self._load_model()
+        self._load_optimizer()
+        self._load_extras(save_dir)
+
+    def _load_datasets(self):
+        builder = registry.get_builder_class(self.dataset_name)()
+        tp = self.tp
+        splits = set()
+        if "train" in self.run_type:
+            splits.update(["train", "val"])
+        if "val" in self.run_type:
+            splits.add("val")
+        if "inference" in self.run_type or "test" in self.run_type:
+            splits.add("test")
+        if not splits:
+            splits.add("val")
+
+        self.datasets: Dict[str, Any] = {}
+        self.loaders: Dict[str, DataLoader] = {}
+        batch_size = int(tp.batch_size)
+        workers = int(getattr(tp, "num_workers", 0) or 0)
+        for split in sorted(splits):
+            try:
+                ds = builder.load(split, self.ds_cfg, seed=self.seed)
+            except (FileNotFoundError, ValueError) as e:
+                self.logger.write(f"split {split} unavailable: {e}", "warning")
+                continue
+            self.datasets[split] = ds
+            self.loaders[split] = DataLoader(
+                ds, batch_size=batch_size, shuffle=(split == "train"),
+                seed=self.seed, drop_last=(split == "train"),
+                pad_last=(split != "train"),
+                num_workers=min(workers, 8),
+            )
+        if not self.datasets:
+            raise RuntimeError(
+                f"no dataset splits could be loaded for {self.dataset_name!r} "
+                f"(data_root_dir={self.ds_cfg.data_root_dir!r}); check paths"
+            )
+        primary = "train" if "train" in self.datasets else sorted(self.datasets)[0]
+        self.primary_split = primary
+        self.datasets[primary].update_registry_for_model()
+        self.answer_processor = registry.get(f"{self.dataset_name}_answer_processor")
+
+    def _load_model(self):
+        tp = self.tp
+        tpu_cfg = getattr(tp, "tpu", None)
+        dtype_name = getattr(tpu_cfg, "compute_dtype", "float32") if tpu_cfg else "float32"
+        self.compute_dtype = DTYPES.get(str(dtype_name), jnp.float32)
+
+        model_key = self.config.model
+        if model_key not in self.config.model_attributes:
+            raise KeyError(
+                f"model {model_key!r} has no model_attributes entry in the "
+                f"config; available: {sorted(self.config.model_attributes)}"
+            )
+        self.model_cfg = self.config.model_attributes[model_key]
+        self.model = build_model(
+            model_key, self.model_cfg, self.dataset_name, self.compute_dtype
+        )
+
+        mesh_cfg = getattr(tpu_cfg, "mesh", None) if tpu_cfg else None
+        data_ax = int(getattr(mesh_cfg, "data", -1)) if mesh_cfg else -1
+        model_ax = int(getattr(mesh_cfg, "model", 1)) if mesh_cfg else 1
+        self.mesh = build_mesh(
+            data=data_ax, model=model_ax, batch_size=int(tp.batch_size)
+        )
+        self.logger.write(f"mesh: {dict(self.mesh.shape)}")
+
+        example = next(iter(self.loaders[self.primary_split]))
+        self.example_tensors = example["tensors"]
+        rng = jax.random.key(self.seed)
+        k_p, k_d, k_g = jax.random.split(rng, 3)
+        variables = self.model.init(
+            {"params": k_p, "dropout": k_d, "gumbel": k_g},
+            self.example_tensors, train=True,
+        )
+        self.params = variables["params"]
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
+        self.logger.write(f"model {model_key}: {n_params/1e6:.1f}M params")
+
+        self.param_sharding = param_shardings(self.params, self.mesh)
+        self.params = jax.device_put(self.params, self.param_sharding)
+
+        self.losses = Losses(
+            list(getattr(self.model_cfg, "losses", []) or []), self.dataset_name
+        )
+        self.metrics = Metrics(
+            list(getattr(self.model_cfg, "metrics", []) or []), self.dataset_name
+        )
+
+    def _load_optimizer(self):
+        self.tx, self.lr_schedule = build_optimizer(
+            self.config.optimizer_attributes, self.tp, self.model_cfg
+        )
+        self.opt_state = jax.jit(
+            self.tx.init, out_shardings=replicated(self.mesh)
+        )(self.params)
+        self._build_steps()
+
+    def _build_steps(self):
+        model, losses, tx = self.model, self.losses, self.tx
+        mesh = self.mesh
+        data_sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data")
+        )
+
+        def train_step(params, opt_state, tensors, rng, step):
+            k_d, k_g = jax.random.split(jax.random.fold_in(rng, step))
+
+            def loss_fn(p):
+                out = model.apply(
+                    {"params": p}, tensors, train=True,
+                    rngs={"dropout": k_d, "gumbel": k_g},
+                )
+                total, ldict = losses.total(tensors, out)
+                return total, (ldict, out)
+
+            (total, (ldict, out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            gnorm = optax.global_norm(grads)
+            return params, opt_state, total, ldict, out, gnorm
+
+        def eval_step(params, tensors, rng, step):
+            k_g = jax.random.fold_in(rng, step)
+            return model.apply(
+                {"params": params}, tensors, train=False, rngs={"gumbel": k_g}
+            )
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self.eval_step = jax.jit(eval_step)
+        self._data_sharding = data_sharding
+
+    def _load_extras(self, save_dir: str):
+        tp = self.tp
+        self.checkpoint = Checkpoint(save_dir, self.config)
+        self.meter = Meter()
+        self.early_stopping = EarlyStopping(
+            monitored_metric=getattr(tp, "monitored_metric", "total_loss"),
+            patience=int(getattr(tp, "patience", 4000)),
+            minimize=bool(getattr(tp, "metric_minimize", True)),
+            should_stop=bool(getattr(tp, "should_early_stop", False)),
+        )
+        self.iteration = 0
+        self.max_iterations = int(getattr(tp, "max_iterations", 10000))
+        self.log_interval = int(getattr(tp, "log_interval", 100))
+        self.snapshot_interval = int(getattr(tp, "snapshot_interval", 1000))
+        self.rng = jax.random.key(self.seed + 7)
+
+        resume_file = getattr(tp, "resume_file", None)
+        if resume_file:
+            self._restore(resume_file)
+        elif getattr(tp, "resume", False):
+            best = self.checkpoint.best_path
+            if os.path.exists(best):
+                self._restore(best)
+
+        self.metric_contexts = {
+            split: MetricContext.from_config(self.ds_cfg, split, self.answer_processor)
+            for split in self.datasets
+        }
+
+    def _restore(self, path: str):
+        template = {"params": self.params, "opt_state": self.opt_state}
+        state = self.checkpoint.load(path, template=template)
+        self.params = jax.device_put(state["params"], self.param_sharding)
+        self.opt_state = state["opt_state"]
+        self.iteration = int(self.checkpoint.load_meta(path)["iteration"])
+        self.logger.write(f"restored checkpoint {path} @ iteration {self.iteration}")
+
+    # ------------------------------------------------------------------ train
+    def _put_batch(self, tensors):
+        return jax.device_put(tensors, self._data_sharding)
+
+    def train(self):
+        if "train" not in self.run_type:
+            self.inference()
+            return
+
+        self.logger.write(
+            f"training {self.config.model} for {self.max_iterations} iterations"
+        )
+        should_stop = False
+        batches = infinite_batches(self.loaders["train"])
+        train_timer = Timer()
+        while self.iteration < self.max_iterations and not should_stop:
+            batch = next(batches)
+            self.iteration += 1
+            tensors = self._put_batch(batch["tensors"])
+            (
+                self.params, self.opt_state, total, ldict, out, gnorm
+            ) = self.train_step(
+                self.params, self.opt_state, tensors, self.rng, self.iteration
+            )
+
+            if self.iteration % self.log_interval == 0:
+                update = {f"train/{k}": float(v) for k, v in ldict.items()}
+                update["train/total_loss"] = float(total)
+                update["train/grad_norm"] = float(gnorm)
+                out_np = jax.device_get(out)
+                train_metrics = self.metrics(
+                    batch["tensors"], out_np, batch["host"],
+                    self.metric_contexts.get("train")
+                    or MetricContext(self.answer_processor),
+                    train=True,
+                )
+                update.update({f"train/{k}": v for k, v in train_metrics.items()})
+                self.meter.update(update)
+                lr = float(self.lr_schedule(self.iteration))
+                elapsed = train_timer.get_time_since_start()
+                ups = self.log_interval / max(elapsed / 1000.0, 1e-9)
+                train_timer.reset()
+                self.logger.write(
+                    f"it {self.iteration}/{self.max_iterations} "
+                    f"lr={lr:.2e} {ups:.2f} it/s | {self.meter.get_log_string()}"
+                )
+                self.logger.add_scalars(update, self.iteration)
+                self._val_probe()
+
+            if self.iteration % self.snapshot_interval == 0:
+                should_stop = self._snapshot()
+
+        self.finalize()
+
+    def _val_probe(self):
+        """1-batch validation estimate at log cadence
+        (reference: base_trainer.py:347-357)."""
+        if "val" not in self.loaders:
+            return
+        batch = next(iter(self.loaders["val"]))
+        tensors = self._put_batch(batch["tensors"])
+        out = self.eval_step(self.params, tensors, self.rng, self.iteration)
+        _, ldict = self.losses.total(batch["tensors"], jax.device_get(out))
+        probe = {f"val/{k}": float(v) for k, v in ldict.items()}
+        self.meter.update(probe)
+        self.logger.add_scalars(probe, self.iteration)
+
+    def _snapshot(self) -> bool:
+        """Full validation + early stopping + checkpoint
+        (reference: base_trainer.py:363-392).  Returns True to stop."""
+        if "val" not in self.loaders:
+            self.checkpoint.save(
+                self._state(), self.iteration, update_best=True,
+                best_iteration=self.iteration,
+            )
+            return False
+        loss_avg, metric_avg = self.evaluate("val")
+        combined = {f"val/{k}": v for k, v in {**loss_avg, **metric_avg}.items()}
+        self.meter.update(combined)
+        self.logger.add_scalars(combined, self.iteration)
+        self.logger.write(
+            f"validation @ {self.iteration}: "
+            + ", ".join(f"{k}={v:.4f}" for k, v in combined.items())
+        )
+
+        monitored = self.early_stopping.monitored_metric
+        value = combined.get(
+            f"val/{monitored}",
+            loss_avg.get("total_loss", 0.0),
+        )
+        is_best = self.early_stopping.is_best(value)
+        stop = self.early_stopping(value, self.iteration)
+        self.checkpoint.save(
+            self._state(), self.iteration, update_best=is_best,
+            best_iteration=self.early_stopping.best_iteration,
+            best_metric_value=self.early_stopping.best_value,
+        )
+        return stop
+
+    def _state(self):
+        # the iteration counter rides in meta.json, not the array tree
+        return {"params": self.params, "opt_state": self.opt_state}
+
+    # ------------------------------------------------------------------ eval
+    @staticmethod
+    def _trim_padding(batch, out_np):
+        """Drop padded eval rows (loader pad_last) before host-side scoring."""
+        n = batch["host"].get("n_valid")
+        tensors, host = batch["tensors"], batch["host"]
+        if n is None or n == next(iter(tensors.values())).shape[0]:
+            return tensors, out_np, host
+        tensors = {k: v[:n] for k, v in tensors.items()}
+        out_np = {
+            k: (v[:n] if getattr(v, "ndim", 0) >= 1 and v.shape[:1] != () else v)
+            for k, v in out_np.items()
+        }
+        host = {
+            k: (v[:n] if isinstance(v, list) else v) for k, v in host.items()
+        }
+        return tensors, out_np, host
+
+    def evaluate(self, split: str):
+        """Full-split evaluation: losses + configured metrics
+        (reference: base_trainer.py:394-410)."""
+        loader = self.loaders[split]
+        ctx = self.metric_contexts[split]
+        loss_sums: Dict[str, float] = {}
+        metric_sums: Dict[str, float] = {}
+        n_batches = 0
+        for batch in loader:
+            dev = self._put_batch(batch["tensors"])
+            out = self.eval_step(self.params, dev, self.rng, n_batches)
+            out_np = jax.device_get(out)
+            tensors, out_np, host = self._trim_padding(batch, out_np)
+            total, ldict = self.losses.total(tensors, out_np)
+            loss_sums["total_loss"] = loss_sums.get("total_loss", 0.0) + float(total)
+            for k, v in ldict.items():
+                loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+            for k, v in self.metrics(
+                tensors, out_np, host, ctx, train=False
+            ).items():
+                metric_sums[k] = metric_sums.get(k, 0.0) + float(v)
+            n_batches += 1
+        if n_batches == 0:
+            return {}, {}
+        return (
+            {k: v / n_batches for k, v in loss_sums.items()},
+            {k: v / n_batches for k, v in metric_sums.items()},
+        )
+
+    def inference(self):
+        for split in ("val", "test"):
+            if split not in self.loaders:
+                continue
+            if split == "val" and "val" not in self.run_type and "inference" not in self.run_type:
+                continue
+            self.logger.write(f"=== inference on {split} ===")
+            if getattr(self.tp, "evalai_inference", False):
+                self.predict_for_evalai(split)
+                continue
+            loss_avg, metric_avg = self.evaluate(split)
+            report = {**loss_avg, **metric_avg}
+            self.logger.write(
+                f"{split}: " + ", ".join(f"{k}={v:.4f}" for k, v in report.items())
+            )
+            self.logger.add_scalars(
+                {f"{split}/{k}": v for k, v in report.items()}, self.iteration
+            )
+
+    def predict_for_evalai(self, split: str):
+        """Prediction JSON dump (reference: test_reporter.py:17-149,
+        vtextgqa/dataset.py:315-363)."""
+        loader = self.loaders[split]
+        predictions = []
+        for bi, batch in enumerate(loader):
+            dev = self._put_batch(batch["tensors"])
+            out = jax.device_get(
+                self.eval_step(self.params, dev, self.rng, bi)
+            )
+            tensors, out, host = self._trim_padding(batch, out)
+            pred_inds = np.asarray(out["pos_scores"]).argmax(-1)
+            answers = decode_answers(
+                pred_inds, host["context_tokens"], self.answer_processor
+            )
+            vocab_size = self.answer_processor.get_true_vocab_size()
+            frames = np.asarray(out["ground_frame"]).tolist()
+            boxes = np.asarray(out["ground_box"]).tolist()
+            qids = np.asarray(tensors["question_id"]).tolist()
+            for i, qid in enumerate(qids):
+                sources = []
+                for idx in pred_inds[i].tolist():
+                    if idx >= vocab_size:
+                        sources.append("OCR")
+                    else:
+                        if idx == self.answer_processor.EOS_IDX:
+                            break
+                        sources.append("VOCAB")
+                predictions.append(
+                    {
+                        "question_id": qid,
+                        "video_id": host["image_id"][i],
+                        "answer": answers[i],
+                        "grounded frame": frames[i],
+                        "grounded box": boxes[i],
+                        "pred_source": sources,
+                    }
+                )
+        report_dir = os.path.join(self.logger.save_dir, "reports")
+        os.makedirs(report_dir, exist_ok=True)
+        path = os.path.join(
+            report_dir,
+            f"{self.dataset_name}_{split}_{time.strftime('%Y%m%dT%H%M%S')}.json",
+        )
+        with open(path, "w") as f:
+            json.dump(predictions, f)
+        self.logger.write(f"wrote {len(predictions)} predictions to {path}")
+        return path
+
+    def finalize(self):
+        """Forced final validation, restore best, test inference
+        (reference: base_trainer.py:280-291)."""
+        if "train" in self.run_type:
+            self._snapshot()
+            self.checkpoint.finalize(self._state(), self.iteration)
+            best = self.checkpoint.best_path
+            if os.path.exists(best):
+                self._restore(best)
+        if "inference" in self.run_type or "predict" in self.run_type:
+            self.inference()
