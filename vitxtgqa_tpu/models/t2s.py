@@ -53,6 +53,8 @@ class T2S(JointQAModel):
     # debug/parity fallback: decode by re-running the full MMT per step like
     # the reference (t2s.py:315-354) instead of the KV-cached scan
     decode_recompute: bool = False
+    # grounding mechanism; ablation subclasses swap this
+    GROUNDING_CLS = GroundingModule
 
     # ---- module assembly (reference: t2s.py:31-151) ----------------------
     def setup(self):
@@ -84,7 +86,7 @@ class T2S(JointQAModel):
         self.qtv = TransformerEncoder(trans_cfg, name="qtv")
 
         g = cfg_get(c, 'grounding')
-        self.grounding = GroundingModule(
+        self.grounding = self.GROUNDING_CLS(
             hidden_size=int(cfg_get(g, 'hidden_size')),
             frame_topk=int(cfg_get(g, 'frame_topk')),
             ocr_topk=int(cfg_get(g, 'ocr_topk')),
