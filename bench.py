@@ -34,6 +34,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the tunnelled-TPU compile is minutes-slow;
+    # cache hits bring reruns down to seconds
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/vitxtgqa_jax_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from vitxtgqa_tpu.core.config import build_config
     from vitxtgqa_tpu.models.t2s import T2S
     from vitxtgqa_tpu.utils.synthetic import synthetic_batch
@@ -56,22 +65,31 @@ def main():
     params = variables["params"]
 
     @jax.jit
-    def eval_step(params, batch, key):
-        return model.apply(
-            {"params": params}, batch, train=False, rngs={"gumbel": key}
+    def eval_step(params, batch, seed):
+        out = model.apply(
+            {"params": params}, batch, train=False,
+            rngs={"gumbel": jax.random.key(seed)},
         )
+        # scalar digest over every output: timing below forces its D2H, so
+        # the device must have finished the whole step (block_until_ready on
+        # the experimental tunnel backend is not trusted as a fence)
+        digest = out["pos_scores"].astype(jnp.float32).sum() + out[
+            "ground_frame"
+        ].sum().astype(jnp.float32)
+        return digest
 
     dev_batch = jax.device_put(batch)
-    key = jax.random.key(3)
 
     # warmup/compile
-    out = eval_step(params, dev_batch, key)
-    jax.block_until_ready(out)
+    digest = float(eval_step(params, dev_batch, jnp.int32(0)))
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        out = eval_step(params, dev_batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
+    seed = jnp.int32(1)
+    for _ in range(ITERS):
+        # chain each call on the previous digest so steps serialize
+        d = eval_step(params, dev_batch, seed)
+        seed = (d.astype(jnp.int32) % 13) + seed
+    _ = float(seed)  # D2H: everything above has completed
     dt = time.perf_counter() - t0
 
     videos_per_sec = BATCH * ITERS / dt
