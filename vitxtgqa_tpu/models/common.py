@@ -38,6 +38,8 @@ class TransformerConfig:
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     dtype: Any = jnp.float32
+    # route full-sequence attention through the fused Pallas kernel
+    use_pallas: bool = False
 
     @classmethod
     def from_config(cls, node: Any, dtype=jnp.float32) -> "TransformerConfig":
@@ -98,7 +100,10 @@ class TransformerLayer(nn.Module):
         k, v = self.kv(x)
         rng = None if deterministic else self.make_rng("dropout")
         rate = 0.0 if deterministic else self.cfg.attention_probs_dropout_prob
-        ctx = merge_heads(mha(q, k, v, bias, dropout_rate=rate, dropout_rng=rng))
+        ctx = merge_heads(
+            mha(q, k, v, bias, dropout_rate=rate, dropout_rng=rng,
+                use_pallas=self.cfg.use_pallas)
+        )
         y = self._finish(x, ctx, deterministic)
         return (y, (k, v)) if return_kv else y
 

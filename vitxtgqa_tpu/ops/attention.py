@@ -18,6 +18,13 @@ import jax
 import jax.numpy as jnp
 
 _PALLAS_MIN_KV = 512  # below this the fused kernel gains nothing
+_GLOBAL_USE_PALLAS = False
+
+
+def set_use_pallas(enabled: bool) -> None:
+    """Process-wide switch (config: training_parameters.tpu.use_pallas)."""
+    global _GLOBAL_USE_PALLAS
+    _GLOBAL_USE_PALLAS = bool(enabled)
 
 
 def mha(
@@ -31,7 +38,7 @@ def mha(
 ) -> jax.Array:
     """Scaled dot-product attention; returns [B, H, Lq, Dh]."""
     if (
-        use_pallas
+        (use_pallas or _GLOBAL_USE_PALLAS)
         and dropout_rate == 0.0
         and k.shape[2] >= _PALLAS_MIN_KV
         and q.shape[2] > 1

@@ -148,6 +148,12 @@ class BaseTrainer:
             model_key, self.model_cfg, self.dataset_name, self.compute_dtype
         )
 
+        if tpu_cfg is not None and getattr(tpu_cfg, "use_pallas", False):
+            from vitxtgqa_tpu.ops.attention import set_use_pallas
+
+            set_use_pallas(True)
+            self.logger.write("fused Pallas attention enabled")
+
         mesh_cfg = getattr(tpu_cfg, "mesh", None) if tpu_cfg else None
         data_ax = int(getattr(mesh_cfg, "data", -1)) if mesh_cfg else -1
         model_ax = int(getattr(mesh_cfg, "model", 1)) if mesh_cfg else 1
@@ -275,15 +281,44 @@ class BaseTrainer:
         should_stop = False
         batches = infinite_batches(self.loaders["train"])
         train_timer = Timer()
+        debug = getattr(self.tp, "logger_level", "info") == "debug"
+        tpu_cfg = getattr(self.tp, "tpu", None)
+        profile_steps = int(getattr(tpu_cfg, "profile_steps", 0) or 0)
+        profile_dir = getattr(tpu_cfg, "profile_dir", None) or os.path.join(
+            self.logger.save_dir, "profile"
+        )
+        profiling = False
         while self.iteration < self.max_iterations and not should_stop:
+            phase_timer = Timer() if debug else None
             batch = next(batches)
             self.iteration += 1
+            if debug:
+                self.logger.write(
+                    f"Batch load time: {phase_timer.get_time_since_start():.1f}ms",
+                    "debug",
+                )
+                phase_timer.reset()
+            # jax.profiler trace window (SURVEY §5.1 TPU equivalent of the
+            # reference's Timer-based phase profiling)
+            if profile_steps and self.iteration == 3 and not profiling:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            if profiling and self.iteration == 3 + profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
+                self.logger.write(f"profiler trace written to {profile_dir}")
             tensors = self._put_batch(batch["tensors"])
             (
                 self.params, self.opt_state, total, ldict, out, gnorm
             ) = self.train_step(
                 self.params, self.opt_state, tensors, self.rng, self.iteration
             )
+            if debug:
+                jax.block_until_ready(total)
+                self.logger.write(
+                    f"Step time: {phase_timer.get_time_since_start():.1f}ms",
+                    "debug",
+                )
 
             if self.iteration % self.log_interval == 0:
                 update = {f"train/{k}": float(v) for k, v in ldict.items()}
