@@ -26,11 +26,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_A100_VIDEOS_PER_SEC = 15.0
-BATCH = int(os.environ.get("BENCH_BATCH", "48"))
-ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+BATCH = int(os.environ.get("BENCH_BATCH", "24"))
+ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 
 
-def main():
+def _run_once(batch_size: int):
     import jax
     import jax.numpy as jnp
 
@@ -47,6 +48,11 @@ def main():
     from vitxtgqa_tpu.models.t2s import T2S
     from vitxtgqa_tpu.utils.synthetic import synthetic_batch
 
+    if USE_PALLAS:
+        from vitxtgqa_tpu.ops.attention import set_use_pallas
+
+        set_use_pallas(True)
+
     cfg = build_config(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "configs", "t2s_abinet.yml")
@@ -57,11 +63,13 @@ def main():
         config=cfg, num_final_outputs=num_final, bos_idx=2,
         compute_dtype=jnp.bfloat16,
     )
-    batch = synthetic_batch(batch=BATCH, num_final_outputs=num_final, seed=0)
+    batch = synthetic_batch(batch=batch_size, num_final_outputs=num_final, seed=0)
 
     rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
             "gumbel": jax.random.key(2)}
-    variables = model.init(rngs, batch, train=True)
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, train=True)
+    )(rngs, batch)
     params = variables["params"]
 
     @jax.jit
@@ -92,7 +100,33 @@ def main():
     _ = float(seed)  # D2H: everything above has completed
     dt = time.perf_counter() - t0
 
-    videos_per_sec = BATCH * ITERS / dt
+    return batch_size * ITERS / dt
+
+
+def main():
+    global USE_PALLAS
+    batch_size = BATCH
+    videos_per_sec = None
+    last_error = None
+    for _ in range(3):
+        try:
+            videos_per_sec = _run_once(batch_size)
+            break
+        except Exception as e:  # OOM or kernel failure: degrade gracefully
+            last_error = e
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg and batch_size > 4:
+                batch_size //= 2
+                continue
+            if USE_PALLAS:
+                USE_PALLAS = False
+                from vitxtgqa_tpu.ops.attention import set_use_pallas
+
+                set_use_pallas(False)
+                continue
+            raise
+    if videos_per_sec is None:
+        raise last_error
     print(json.dumps({
         "metric": "t2s_eval_throughput",
         "value": round(videos_per_sec, 2),
