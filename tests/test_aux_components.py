@@ -1,0 +1,146 @@
+"""Auxiliary subsystem tests: multi-dataset, collectives, bytes transport,
+beam search, feature readers, meter, early stopping, optimizer schedule."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitxtgqa_tpu.core.meter import Meter, SmoothedValue
+from vitxtgqa_tpu.training.early_stopping import EarlyStopping
+from vitxtgqa_tpu.utils.bytes import dec_bytes2obj, enc_obj2bytes
+
+
+def test_bytes_roundtrip():
+    obj = {"tokens": ["a", "<pad>"], "n": 3}
+    arr = enc_obj2bytes(obj, max_size=512)
+    assert arr.shape == (512,) and arr.dtype == np.uint8
+    assert dec_bytes2obj(arr) == obj
+
+
+def test_smoothed_value_and_meter():
+    sv = SmoothedValue(window_size=3)
+    for v in [1, 2, 3, 4]:
+        sv.update(v)
+    assert sv.median == 3 and sv.avg == 3 and sv.global_avg == 2.5
+    m = Meter()
+    m.update({"train/loss": 1.0})
+    m.update({"train/loss": 3.0})
+    assert "loss" in m.get_log_string()
+    assert m["train/loss"].global_avg == 2.0
+
+
+def test_early_stopping():
+    es = EarlyStopping("acc", patience=2, minimize=False, should_stop=True)
+    assert not es(0.5, 1)
+    assert not es(0.6, 2)   # improved
+    assert not es(0.55, 3)  # within patience
+    assert not es(0.55, 4)
+    assert es(0.55, 5)      # 5 - 2 > patience
+    assert es.best_iteration == 2
+
+
+def test_lr_schedule_matches_reference_semantics():
+    from vitxtgqa_tpu.training.optim import lr_multiplier_schedule
+
+    sched = lr_multiplier_schedule(True, 0.2, 1000, [10000, 20000], 0.1)
+    assert abs(float(sched(0)) - 0.2) < 1e-6
+    assert abs(float(sched(500)) - 0.6) < 1e-6
+    assert abs(float(sched(5000)) - 1.0) < 1e-6
+    assert abs(float(sched(15000)) - 0.1) < 1e-6
+    assert abs(float(sched(21000)) - 0.01) < 1e-6
+
+
+def test_multi_dataset_schedule_deterministic(repo_root):
+    from vitxtgqa_tpu.data.loader import DataLoader
+    from vitxtgqa_tpu.data.multi_dataset import MultiDataset
+
+    class FakeDS:
+        def __init__(self, n, tag):
+            self.n, self.tag = n, tag
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return {"x": np.zeros(2), "dataset_name": self.tag,
+                    "dataset_type": "train"}
+
+    loaders = {
+        "big": DataLoader(FakeDS(90, "big"), batch_size=2),
+        "small": DataLoader(FakeDS(10, "small"), batch_size=2),
+    }
+    md = MultiDataset(loaders, proportional=True, seed=3)
+    picks = [md.dataset_for_step(s) for s in range(200)]
+    md2 = MultiDataset(loaders, proportional=True, seed=3)
+    assert picks == [md2.dataset_for_step(s) for s in range(200)]
+    frac_big = picks.count("big") / len(picks)
+    assert 0.75 < frac_big <= 1.0
+    batch = md.batch_for_step(0)
+    assert batch["tensors"]["x"].shape == (2, 2)
+
+
+def test_pmean_dict_on_cpu_mesh():
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from vitxtgqa_tpu.parallel.collectives import pmean_dict
+
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.array(devs), ("data",))
+    vals = {"loss": jnp.arange(4, dtype=jnp.float32)}
+
+    f = shard_map(
+        lambda v: pmean_dict(v, "data"),
+        mesh=mesh, in_specs=(P("data"),), out_specs=P(),
+    )
+    out = f(vals)
+    assert float(out["loss"][0]) == 1.5  # mean of 0..3
+
+
+def test_beam_search_greedy_equivalence():
+    from vitxtgqa_tpu.ops.beam_search import beam_search
+
+    V, B = 6, 2
+    table = jnp.asarray(
+        [[0.0, 0.1, 3.0, 0.2, 0.1, 0.0],
+         [0.0, 2.5, 0.0, 0.1, 0.0, 0.3]]
+    )
+
+    def step_fn(tokens, state, t):
+        # logits depend only on the previous token: makes argmax chains easy
+        logits = table[tokens % 2] + jax.nn.one_hot(tokens, V) * 0.0
+        return logits, state
+
+    tokens, scores = beam_search(
+        step_fn, init_state=jnp.zeros((B * 3, 1)), batch=B, num_beams=3,
+        bos_id=0, eos_id=5, max_len=4,
+    )
+    assert tokens.shape == (B, 3, 4)
+    # best beam of batch element 0: token chain driven by table row parity
+    assert int(tokens[0, 0, 0]) == 2  # argmax of row 0
+    assert np.all(np.asarray(scores[:, 0]) >= np.asarray(scores[:, 1]) - 1e-5)
+
+
+def test_feature_readers(tmp_path):
+    from vitxtgqa_tpu.data.feature_readers import (
+        PaddedFeatureReader, VideoFeatureReader,
+    )
+
+    d = tmp_path / "feats"
+    os.makedirs(d / "vid1")
+    np.save(d / "item.npy", np.ones((3, 8), np.float32))
+    for i in (1, 2):
+        np.save(d / "vid1" / f"{i}.npy", np.full((1, 4), i, np.float32))
+
+    pr = PaddedFeatureReader(str(d), max_loc=5)
+    feat, n = pr.read("item")
+    assert feat.shape == (5, 8) and n == 3 and (feat[3:] == 0).all()
+    assert pr.read("item")[1] == 3  # cached path
+
+    vr = VideoFeatureReader(str(d), feat_dim=4)
+    assert vr.frame_count("vid1") == 2
+    out = vr.read_frames("vid1", [1, 2, 99], pad_to=4)
+    assert out.shape == (4, 4)
+    assert (out[0] == 1).all() and (out[1] == 2).all() and (out[2] == 0).all()
