@@ -28,7 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_A100_VIDEOS_PER_SEC = 15.0
 BATCH = int(os.environ.get("BENCH_BATCH", "24"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
-USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
+# default off: the Pallas kernel is interpret-mode validated, but Mosaic
+# compilation hangs on this environment's remote-compile TPU tunnel
+USE_PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
 
 
 def _run_once(batch_size: int):

@@ -32,6 +32,7 @@ def setup_imports() -> None:
         "vitxtgqa_tpu.models.transtr",
         "vitxtgqa_tpu.models.mist",
         "vitxtgqa_tpu.models.gt_box",
+        "vitxtgqa_tpu.models.legacy_vqa",
         "vitxtgqa_tpu.training.trainer",
     ]
     for mod in modules:
