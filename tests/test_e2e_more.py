@@ -1,0 +1,91 @@
+"""Additional end-to-end coverage: gt_box oracle pipeline + checkpoint resume."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+FIXROOT = os.path.join(os.path.dirname(__file__), "fixtures", "data")
+
+
+@pytest.fixture(scope="module")
+def fixture_data(repo_root):
+    if not os.path.exists(os.path.join(FIXROOT, "vtextgqa")):
+        subprocess.run(
+            [sys.executable, os.path.join(repo_root, "tools", "make_fixtures.py"),
+             "--root", FIXROOT, "--feat_dim", "1024"],
+            check=True, cwd=repo_root,
+        )
+    return FIXROOT
+
+
+def _opts(fixture_data, tmp_path, model, dataset="vtextgqa"):
+    return [
+        f"dataset_attributes.{dataset}.data_root_dir={fixture_data}",
+        "training_parameters.batch_size=2",
+        "training_parameters.num_workers=0",
+        f"training_parameters.save_dir={tmp_path}/save",
+        "training_parameters.seed=13",
+        "training_parameters.tpu.compute_dtype=float32",
+        f"model_attributes.{model}.text_bert.num_hidden_layers=1",
+        f"model_attributes.{model}.mmt.num_hidden_layers=1",
+        f"model_attributes.{model}.translayers.num_hidden_layers=1",
+        f"model_attributes.{model}.encoder.num_hidden_layers=1",
+    ]
+
+
+@pytest.mark.slow
+def test_gt_box_val_inference(fixture_data, tmp_path, repo_root):
+    sys.path.insert(0, repo_root)
+    from tools.run import run
+    from vitxtgqa_tpu.core.registry import registry
+
+    registry.clear_state()
+    trainer = run(
+        [
+            "--config", os.path.join(repo_root, "configs", "gt_box_clipocr.yml"),
+            "--model", "gt_box", "--datasets", "gt_box", "--run_type", "val",
+        ]
+        + _opts(fixture_data, tmp_path, "gt_box", dataset="gt_box")
+        + [
+            # fixtures ship the abinet-named OCR dir; point ClipOCR there
+            "dataset_attributes.gt_box.ocr_infos.val=['fps10_ocr_detection/val']",
+        ]
+    )
+    loss_avg, metric_avg = trainer.evaluate("val")
+    # the oracle's grounded frames come straight from GT spans: temporal
+    # grounding must be (near-)perfect on fixtures
+    assert metric_avg["gt_box/IOU@0.5"] >= 0.5
+    assert "gt_box/textvqa_accuracy" in metric_avg
+
+
+@pytest.mark.slow
+def test_resume_from_checkpoint(fixture_data, tmp_path, repo_root):
+    sys.path.insert(0, repo_root)
+    from tools.run import run
+    from vitxtgqa_tpu.core.registry import registry
+
+    common = [
+        "--config", os.path.join(repo_root, "configs", "m4c_abinet.yml"),
+        "--model", "m4c", "--datasets", "vtextgqa",
+    ] + _opts(fixture_data, tmp_path, "m4c")
+
+    registry.clear_state()
+    run(common + ["--run_type", "train",
+                  "training_parameters.max_iterations=2",
+                  "training_parameters.log_interval=10",
+                  "training_parameters.snapshot_interval=2"])
+    best = os.path.join(str(tmp_path), "save", "ckpt", "best")
+    assert os.path.exists(best)
+
+    registry.clear_state()
+    resume_args = common[:8] + ["--run_type", "train", "--resume_file", best] + common[8:]
+    trainer = run(
+        resume_args
+        + ["training_parameters.max_iterations=3",
+           "training_parameters.log_interval=10",
+           "training_parameters.snapshot_interval=10"]
+    )
+    # resumed at iteration 2, ran one more step
+    assert trainer.iteration == 3

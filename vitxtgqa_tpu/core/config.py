@@ -205,12 +205,18 @@ def apply_dotted_overrides(config: Dict[str, Any], opts: Optional[List[str]]) ->
     """
     if not opts:
         return
-    if any("=" in o for o in opts):
-        pairs = [o.split("=", 1) for o in opts]
-    else:
-        if len(opts) % 2 != 0:
-            raise ValueError(f"opts must be key/value pairs, got {opts}")
-        pairs = [(opts[i], opts[i + 1]) for i in range(0, len(opts), 2)]
+    # mixed "key=value" and "key value" styles are both accepted
+    pairs = []
+    i = 0
+    while i < len(opts):
+        if "=" in opts[i]:
+            pairs.append(tuple(opts[i].split("=", 1)))
+            i += 1
+        else:
+            if i + 1 >= len(opts):
+                raise ValueError(f"opts must be key/value pairs, got {opts}")
+            pairs.append((opts[i], opts[i + 1]))
+            i += 2
 
     for key, raw in pairs:
         node = config

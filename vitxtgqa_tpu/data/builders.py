@@ -28,6 +28,7 @@ class VTextGQABuilder:
         return self.dataset_class(dataset_type, config, rng=rng)
 
 
+@registry.register_builder("gt_box")
 @registry.register_builder("gt_box_clipocr")
 class GTBoxBuilder(VTextGQABuilder):
     """Oracle variant: exposes GT grounding annotations to the model

@@ -117,6 +117,25 @@ class GTBoxDataset(VTextGQADataset):
         sample["ocr_track_id"] = anno_track
         sample["ocr_temporal_id"] = anno_temporal
 
+        # eval-aligned ground boxes: the IoU evaluator pairs frame_list[id]
+        # with box slots [id*K, (id+1)*K) (m4c_evaluators.py:393-398), but
+        # the model-input grid above is laid out per *sampled* frame — the
+        # reference feeds the same tensor to both and its oracle IoU
+        # misaligns whenever the first annotated frame isn't frame 1.  Here
+        # the eval field places each annotated frame's GT box at its
+        # frame_list position (deliberate fix, documented).
+        eval_boxes = np.zeros((N, 4), np.float32)
+        for i, fid in enumerate(ground_fid_list):
+            if fid <= 0 or i >= F:
+                continue
+            key = str(fid - 1)
+            if key in box_dict:
+                eval_boxes[i * K] = box_dict[key]
+        eval_boxes *= np.array(
+            [1.0 / width, 1.0 / height, 1.0 / width, 1.0 / height], np.float32
+        )
+        sample["eval_box_list"] = eval_boxes
+
         # context features over the annotated tokens replace the detected
         # ones (reference: dataset.py:248-265) — the answer copy space is the
         # GT OCR vocabulary

@@ -128,7 +128,9 @@ class GTBox(JointQAModel):
         return {
             "pos_scores": scores,
             "ground_frame": batch["frame_list"],
-            "ground_box": batch["ocr_bbox_list"],
+            # eval-aligned GT boxes (see gt_box_dataset.py: fixes the
+            # reference's frame-list/box-grid pairing misalignment)
+            "ground_box": batch.get("eval_box_list", batch["ocr_bbox_list"]),
             "frame_topk": jnp.asarray(64),
             "ocr_topk": jnp.asarray(15),
         }
