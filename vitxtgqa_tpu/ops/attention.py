@@ -46,6 +46,18 @@ def mha(
         from vitxtgqa_tpu.ops.pallas_attention import fused_attention
 
         return fused_attention(q, k, v, bias)
+    if dropout_rate == 0.0:
+        # jax.nn.dot_product_attention exposes the attention pattern to XLA's
+        # fused lowering (no [B,H,L,L] probs in HBM when the backend fuses);
+        # it expects [B, L, H, D] layout
+        out = jax.nn.dot_product_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            bias=bias,
+            implementation="xla",
+        )
+        return out.transpose(0, 2, 1, 3)
     return mha_reference(q, k, v, bias, dropout_rate, dropout_rng)
 
 
