@@ -115,14 +115,30 @@ class TransformerLayer(nn.Module):
         return self._finish(x_t, ctx, deterministic)
 
 
+_GLOBAL_REMAT = False
+
+
+def set_remat(enabled: bool) -> None:
+    """Rematerialise transformer layers in the backward pass (config:
+    training_parameters.tpu.remat) — trades ~1/3 extra FLOPs for dropping
+    per-layer activations from HBM."""
+    global _GLOBAL_REMAT
+    _GLOBAL_REMAT = bool(enabled)
+
+
 class TransformerEncoder(nn.Module):
     """Stack of TransformerLayers (BertEncoder equivalent)."""
 
     cfg: TransformerConfig
 
     def setup(self):
+        layer_cls = (
+            nn.remat(TransformerLayer, static_argnums=(2, 3))
+            if _GLOBAL_REMAT
+            else TransformerLayer
+        )
         self.layers = [
-            TransformerLayer(self.cfg, name=f"layer_{i}")
+            layer_cls(self.cfg, name=f"layer_{i}")
             for i in range(self.cfg.num_hidden_layers)
         ]
 

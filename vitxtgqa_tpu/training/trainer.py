@@ -153,6 +153,12 @@ class BaseTrainer:
 
             set_use_pallas(True)
             self.logger.write("fused Pallas attention enabled")
+        remat_mode = str(getattr(tpu_cfg, "remat", "none")) if tpu_cfg else "none"
+        if remat_mode not in ("none", "None", "false", "False"):
+            from vitxtgqa_tpu.models.common import set_remat
+
+            set_remat(True)
+            self.logger.write("transformer-layer rematerialisation enabled")
 
         mesh_cfg = getattr(tpu_cfg, "mesh", None) if tpu_cfg else None
         data_ax = int(getattr(mesh_cfg, "data", -1)) if mesh_cfg else -1
