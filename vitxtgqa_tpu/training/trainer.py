@@ -71,11 +71,13 @@ class BaseTrainer:
     def load(self):
         tp = self.tp
         self.seed = int(getattr(tp, "seed", None) or 1)
-        self.dataset_name = (
-            self.config.datasets.split(",")[0]
+        names = (
+            self.config.datasets.split(",")
             if isinstance(self.config.datasets, str)
-            else self.config.datasets[0]
+            else list(self.config.datasets)
         )
+        self.dataset_names = [n.strip() for n in names if n.strip()]
+        self.dataset_name = self.dataset_names[0]
         self.ds_cfg = self.config.dataset_attributes[self.dataset_name]
 
         save_dir = getattr(tp, "save_dir", "./save")
@@ -126,6 +128,30 @@ class BaseTrainer:
                 f"no dataset splits could be loaded for {self.dataset_name!r} "
                 f"(data_root_dir={self.ds_cfg.data_root_dir!r}); check paths"
             )
+
+        # multi-dataset training: wrap per-dataset train loaders in the
+        # deterministic-schedule MultiDataset (reference: multi_dataset.py)
+        if len(self.dataset_names) > 1 and "train" in self.loaders:
+            from vitxtgqa_tpu.data.multi_dataset import MultiDataset
+
+            extra_loaders = {self.dataset_name: self.loaders["train"]}
+            for name in self.dataset_names[1:]:
+                cfg = self.config.dataset_attributes[name]
+                b = registry.get_builder_class(name)()
+                ds = b.load("train", cfg, seed=self.seed)
+                extra_loaders[name] = DataLoader(
+                    ds, batch_size=int(self.tp.batch_size), shuffle=True,
+                    seed=self.seed, drop_last=True,
+                )
+            proportional = bool(
+                getattr(self.tp, "dataset_size_proportional_sampling", True)
+            )
+            self.multi_train = MultiDataset(
+                extra_loaders, proportional=proportional, seed=self.seed
+            )
+        else:
+            self.multi_train = None
+
         primary = "train" if "train" in self.datasets else sorted(self.datasets)[0]
         self.primary_split = primary
         self.datasets[primary].update_registry_for_model()
@@ -285,7 +311,11 @@ class BaseTrainer:
             f"training {self.config.model} for {self.max_iterations} iterations"
         )
         should_stop = False
-        batches = infinite_batches(self.loaders["train"])
+        batches = (
+            iter(self.multi_train)
+            if self.multi_train is not None
+            else infinite_batches(self.loaders["train"])
+        )
         train_timer = Timer()
         debug = getattr(self.tp, "logger_level", "info") == "debug"
         tpu_cfg = getattr(self.tp, "tpu", None)
@@ -430,9 +460,21 @@ class BaseTrainer:
         loss_sums: Dict[str, float] = {}
         metric_sums: Dict[str, float] = {}
         n_batches = 0
-        for batch in loader:
-            dev = self._put_batch(batch["tensors"])
-            out = self.eval_step(self.params, dev, self.rng, n_batches)
+
+        def dispatched():
+            # dispatch the next batch's eval before pulling the previous
+            # one's results: device compute overlaps host-side scoring
+            pending = None
+            for i, batch in enumerate(loader):
+                dev = self._put_batch(batch["tensors"])
+                out = self.eval_step(self.params, dev, self.rng, i)
+                if pending is not None:
+                    yield pending
+                pending = (batch, out)
+            if pending is not None:
+                yield pending
+
+        for batch, out in dispatched():
             out_np = jax.device_get(out)
             tensors, out_np, host = self._trim_padding(batch, out_np)
             total, ldict = self.losses.total(tensors, out_np)
