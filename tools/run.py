@@ -32,7 +32,17 @@ def run(argv=None):
     )
     trainer = trainer_cls(cfg)
     trainer.load()
-    trainer.train()
+    try:
+        trainer.train()
+    except Exception:
+        # log the traceback to the run's log file before re-raising
+        # (reference: tools/run.py:75-84)
+        import traceback
+
+        logger = getattr(trainer, "logger", None)
+        if logger is not None:
+            logger.write(traceback.format_exc(), "error")
+        raise
     return trainer
 
 

@@ -550,6 +550,17 @@ class BaseTrainer:
                         "pred_source": sources,
                     }
                 )
+        # multihost eval: gather every process's predictions on each host
+        # (reference: test_reporter.py:135-142 gather across ranks)
+        if jax.process_count() > 1:
+            from vitxtgqa_tpu.parallel.collectives import gather_objects
+
+            predictions = [
+                p for chunk in gather_objects(predictions) for p in chunk
+            ]
+            if jax.process_index() != 0:
+                return None
+
         report_dir = os.path.join(self.logger.save_dir, "reports")
         os.makedirs(report_dir, exist_ok=True)
         path = os.path.join(
