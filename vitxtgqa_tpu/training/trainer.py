@@ -179,6 +179,9 @@ class BaseTrainer:
 
             set_use_pallas(True)
             self.logger.write("fused Pallas attention enabled")
+        if tpu_cfg is not None and getattr(tpu_cfg, "debug_nans", False):
+            jax.config.update("jax_debug_nans", True)
+            self.logger.write("jax_debug_nans enabled")
         remat_mode = str(getattr(tpu_cfg, "remat", "none")) if tpu_cfg else "none"
         if remat_mode not in ("none", "None", "false", "False"):
             from vitxtgqa_tpu.models.common import set_remat
@@ -246,9 +249,21 @@ class BaseTrainer:
             (total, (ldict, out)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
             gnorm = optax.global_norm(grads)
+            # NaN tripwire (the TPU stand-in for the reference's always-on
+            # torch anomaly detection, base_trainer.py:214): a non-finite
+            # loss/grad skips the update instead of corrupting the params
+            ok = jnp.isfinite(total) & jnp.isfinite(gnorm)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), new_params, params
+            )
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old)
+                if hasattr(new, "shape") else new,
+                new_opt_state, opt_state,
+            )
             return params, opt_state, total, ldict, out, gnorm
 
         def eval_step(params, tensors, rng, step):
