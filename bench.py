@@ -117,7 +117,11 @@ def main():
         except Exception as e:  # OOM or kernel failure: degrade gracefully
             last_error = e
             msg = str(e)
-            if "RESOURCE_EXHAUSTED" in msg and batch_size > 4:
+            if (
+                ("RESOURCE_EXHAUSTED" in msg or "remote_compile" in msg
+                 or "INTERNAL" in msg)
+                and batch_size > 4
+            ):
                 batch_size //= 2
                 continue
             if USE_PALLAS:
