@@ -231,7 +231,8 @@ class VTextGQADataset:
             for fi, frame_idx in enumerate(idxs):
                 path = os.path.join(vdir, f"{frame_idx}.npy")
                 feat = np.load(path, allow_pickle=True).astype(np.float32)
-                feats[fi] = feat.reshape(-1)[: self.feat_dim]
+                flat = feat.reshape(-1)[: self.feat_dim]
+                feats[fi, : flat.shape[0]] = flat  # zero-pad short features
                 if frame_idx == mid_frame_id:
                     mid_feat[0] = feats[fi]
         sample["video_feat"] = feats
