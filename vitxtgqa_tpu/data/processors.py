@@ -10,6 +10,7 @@ loops.
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 from typing import Any, Dict, List, Optional
 
@@ -383,3 +384,175 @@ class M4CAnswerProcessor(BaseProcessor):
             "train_prev_inds": train_prev_inds,
             "train_loss_mask": train_loss_mask,
         }
+
+
+@registry.register_processor("glove")
+class GloVeProcessor(VocabProcessor):
+    """Token indices looked up in a pre-extracted embedding table
+    (reference: processors.py:317-357 over torchtext GloVe caches; here the
+    vectors come from the vocab-embedding family, data/vocab_embeddings.py)."""
+
+    def __init__(self, config, *args, data_root_dir: Optional[str] = None, **kwargs):
+        super().__init__(config, *args, data_root_dir=data_root_dir, **kwargs)
+        from vitxtgqa_tpu.data.vocab_embeddings import Vocab as EmbedVocab
+
+        vocab_cfg = _cfg_get(config, "vocab") or {}
+        vocab_file = _cfg_get(vocab_cfg, "vocab_file")
+        if vocab_file and data_root_dir and not os.path.isabs(vocab_file):
+            vocab_file = os.path.join(data_root_dir, vocab_file)
+        self.embed_vocab = EmbedVocab(
+            type="intersected",
+            vocab_file=vocab_file,
+            model_file=_cfg_get(vocab_cfg, "model_file"),
+            embedding_dim=int(_cfg_get(vocab_cfg, "embedding_dim", 300)),
+        )
+
+    def __call__(self, item):
+        tokens = self._tokens_of(item)
+        table = self.embed_vocab.get_vectors()
+        out = np.zeros((self.max_length, self.embed_vocab.dim), np.float32)
+        for i, tok in enumerate(tokens[: self.max_length]):
+            out[i] = table[self.embed_vocab.stoi.get(tok, self.embed_vocab.UNK_INDEX)]
+        return {"text": out}
+
+
+@registry.register_processor("vqa_answer")
+class VQAAnswerProcessor(BaseProcessor):
+    """VQA soft-score answer targets over a fixed vocabulary
+    (reference: processors.py:498-677)."""
+
+    DEFAULT_NUM_ANSWERS = 10
+
+    def __init__(self, config, *args, data_root_dir: Optional[str] = None, **kwargs):
+        self.answer_vocab = VocabDict(
+            _cfg_get(config, "vocab_file"), data_root_dir=data_root_dir
+        )
+        pre = _cfg_get(config, "preprocessor")
+        self.preprocessor = Processor(pre) if pre is not None else None
+        self.num_answers = int(
+            _cfg_get(config, "num_answers", self.DEFAULT_NUM_ANSWERS)
+        )
+
+    def get_vocab_size(self) -> int:
+        return self.answer_vocab.num_vocab
+
+    def get_true_vocab_size(self) -> int:
+        return self.answer_vocab.num_vocab
+
+    def word2idx(self, word):
+        return self.answer_vocab.word2idx(word)
+
+    def idx2word(self, idx):
+        return self.answer_vocab.idx2word(idx)
+
+    def _increase_to_ten(self, tokens):
+        while len(tokens) < self.DEFAULT_NUM_ANSWERS:
+            tokens = tokens + tokens[: self.DEFAULT_NUM_ANSWERS - len(tokens)]
+        return tokens
+
+    def compute_answers_scores(self, answers_indices) -> np.ndarray:
+        """Leave-one-out soft score per unique index, UNK zeroed
+        (reference: processors.py:634-654)."""
+        scores = np.zeros(self.get_vocab_size(), np.float32)
+        gt = list(enumerate(answers_indices))
+        for answer in set(int(a) for a in answers_indices):
+            accs = []
+            for g in gt:
+                others = [o for o in gt if o != g]
+                matching = [o for o in others if o[1] == answer]
+                accs.append(min(1.0, len(matching) / 3.0))
+            if answer != self.answer_vocab.UNK_INDEX:
+                scores[answer] = sum(accs) / len(accs)
+        return scores
+
+    def _tokens(self, item) -> List[str]:
+        if "answer_tokens" in item:
+            tokens = list(item["answer_tokens"])
+        elif "answers" in item:
+            assert self.preprocessor is not None
+            tokens = [
+                self.preprocessor({"text": a})["text"] for a in item["answers"]
+            ]
+        else:
+            raise AssertionError("need 'answers' or 'answer_tokens'")
+        return self._increase_to_ten(tokens)
+
+    def __call__(self, item):
+        tokens = self._tokens(item)
+        indices = np.full(self.DEFAULT_NUM_ANSWERS, self.answer_vocab.UNK_INDEX,
+                          np.int64)
+        for i, tok in enumerate(tokens[: self.DEFAULT_NUM_ANSWERS]):
+            indices[i] = self.answer_vocab.word2idx(tok)
+        return {
+            "answers": tokens,
+            "answers_indices": indices,
+            "answers_scores": self.compute_answers_scores(indices),
+        }
+
+
+@registry.register_processor("multi_hot_answer_from_vocab")
+class MultiHotAnswerFromVocabProcessor(VQAAnswerProcessor):
+    """Multi-hot targets (reference: processors.py:680-688)."""
+
+    def compute_answers_scores(self, answers_indices) -> np.ndarray:
+        scores = np.zeros(self.get_vocab_size(), np.float32)
+        scores[np.asarray(answers_indices, np.int64)] = 1.0
+        scores[self.answer_vocab.UNK_INDEX] = 0.0
+        return scores
+
+
+@registry.register_processor("soft_copy_answer")
+class SoftCopyAnswerProcessor(VQAAnswerProcessor):
+    """VQA answers + dynamic OCR soft-copy space (reference:
+    processors.py:690-781, LoRRA's answer space)."""
+
+    DEFAULT_MAX_LENGTH = 200
+
+    def __init__(self, config, *args, data_root_dir: Optional[str] = None, **kwargs):
+        super().__init__(config, *args, data_root_dir=data_root_dir, **kwargs)
+        self.max_length = int(
+            _cfg_get(config, "max_length", self.DEFAULT_MAX_LENGTH)
+        )
+        ctx_pre = _cfg_get(config, "context_preprocessor")
+        self.context_preprocessor = (
+            Processor(ctx_pre) if ctx_pre is not None else None
+        )
+
+    def get_vocab_size(self) -> int:
+        return self.answer_vocab.num_vocab + self.max_length
+
+    def get_true_vocab_size(self) -> int:
+        return self.answer_vocab.num_vocab
+
+    def __call__(self, item):
+        answers = item["answers"]
+        out = super().__call__({"answers": answers})
+        answers = out["answers"]
+        scores = np.zeros(self.get_vocab_size(), np.float32)
+        scores[: self.answer_vocab.num_vocab] = out["answers_scores"][
+            : self.answer_vocab.num_vocab
+        ]
+
+        tokens = list(item.get("tokens", []))
+        if self.context_preprocessor is not None:
+            tokens = [
+                self.context_preprocessor({"text": t})["text"] for t in tokens
+            ]
+        length = min(len(tokens), self.max_length)
+        token_scores = np.zeros(self.max_length, np.float32)
+        gt = list(enumerate(answers))
+        from collections import Counter
+
+        counter = Counter(answers)
+        for i, tok in enumerate(tokens[:length]):
+            if counter[tok] == 0:
+                continue
+            accs = []
+            for g in gt:
+                others = [o for o in gt if o != g]
+                matching = [o for o in others if o[1] == tok]
+                accs.append(min(1.0, len(matching) / 3.0))
+            token_scores[i] = sum(accs) / len(accs)
+        scores[-self.max_length:] = token_scores
+        out["answers_scores"] = scores
+        return out
