@@ -31,6 +31,9 @@ ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 # default off: the Pallas kernel is interpret-mode validated, but Mosaic
 # compilation hangs on this environment's remote-compile TPU tunnel
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
+# serving path by default (pos variant only — identical predictions, tested);
+# BENCH_FULL_EVAL=1 measures the 3-variant validation path instead
+FULL_EVAL = os.environ.get("BENCH_FULL_EVAL", "0") == "1"
 
 
 def _run_once(batch_size: int):
@@ -63,7 +66,7 @@ def _run_once(batch_size: int):
     num_final = 5050 + 960
     model = T2S(
         config=cfg, num_final_outputs=num_final, bos_idx=2,
-        compute_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16, inference_only=not FULL_EVAL,
     )
     batch = synthetic_batch(batch=batch_size, num_final_outputs=num_final, seed=0)
 

@@ -55,6 +55,9 @@ class T2S(JointQAModel):
     decode_recompute: bool = False
     # grounding mechanism; ablation subclasses swap this
     GROUNDING_CLS = GroundingModule
+    # serving mode: skip the ref/neg contrastive variants at eval (losses
+    # can't be computed, predictions + grounding are identical)
+    inference_only: bool = False
 
     # ---- module assembly (reference: t2s.py:31-151) ----------------------
     def setup(self):
@@ -162,6 +165,30 @@ class T2S(JointQAModel):
             batch["temporal_id"],
         )
 
+        common = {
+            "ground_frame": g["ground_frame"],
+            "ground_box": g["ground_bbox"],
+            "frame_topk": jnp.asarray(self.grounding.frame_topk),
+            "ocr_topk": jnp.asarray(self.grounding.ocr_topk),
+        }
+
+        if not train and self.inference_only:
+            # serving path: ref/neg variants exist only to feed InfoNCE at
+            # train/val; predictions consume pos_scores + grounding, so run
+            # the single pos variant (~2x less encode/decode compute)
+            enc_mask = jnp.concatenate(
+                [txt_mask, g["pos_obj_mask"], g["pos_ocr_mask"]], axis=1
+            )
+            dec_len = batch["train_prev_inds"].shape[1]
+            decode = (
+                self._recompute_decode if self.decode_recompute
+                else self._greedy_decode
+            )
+            pos = decode(
+                txt_emb, obj_in, ocr_in, enc_mask, g["pos_ocr_mask"], dec_len
+            )
+            return {"pos_scores": pos, **common}
+
         # fold the 3 contrastive variants into the batch dim: [ref; pos; neg]
         b = txt_emb.shape[0]
         obj_masks = jnp.concatenate(
@@ -193,15 +220,7 @@ class T2S(JointQAModel):
             )
 
         ref, pos, neg = jnp.split(scores3, 3, axis=0)
-        return {
-            "ref_scores": ref,
-            "pos_scores": pos,
-            "neg_scores": neg,
-            "ground_frame": g["ground_frame"],
-            "ground_box": g["ground_bbox"],
-            "frame_topk": jnp.asarray(self.grounding.frame_topk),
-            "ocr_topk": jnp.asarray(self.grounding.ocr_topk),
-        }
+        return {"ref_scores": ref, "pos_scores": pos, "neg_scores": neg, **common}
 
 
 def build_t2s(config_node: Any, dataset_name: str = "vtextgqa",
