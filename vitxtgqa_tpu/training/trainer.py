@@ -81,6 +81,11 @@ class BaseTrainer:
         self.ds_cfg = self.config.dataset_attributes[self.dataset_name]
 
         save_dir = getattr(tp, "save_dir", "./save")
+        if save_dir in ("./save", "save"):
+            # default dir gets the reference's experiment slug
+            # (ckpt_name_from_core_args, general.py:56-67)
+            slug = f"{self.dataset_name}_{self.config.model}_{self.seed}"
+            save_dir = os.path.join(save_dir, slug)
         self.logger = Logger(
             save_dir, level=getattr(tp, "logger_level", "info"),
             should_log=not getattr(tp, "should_not_log", False),
@@ -388,9 +393,16 @@ class BaseTrainer:
                 elapsed = train_timer.get_time_since_start()
                 ups = self.log_interval / max(elapsed / 1000.0, 1e-9)
                 train_timer.reset()
+                # ETA from the current log-interval rate
+                # (reference: base_trainer.py:453-463)
+                remaining_ms = (self.max_iterations - self.iteration) / max(
+                    ups, 1e-9
+                ) * 1000.0
+                eta = Timer().get_time_hhmmss(remaining_ms)
                 self.logger.write(
                     f"it {self.iteration}/{self.max_iterations} "
-                    f"lr={lr:.2e} {ups:.2f} it/s | {self.meter.get_log_string()}"
+                    f"lr={lr:.2e} {ups:.2f} it/s eta={eta} | "
+                    f"{self.meter.get_log_string()}"
                 )
                 self.logger.add_scalars(update, self.iteration)
                 self._val_probe()
