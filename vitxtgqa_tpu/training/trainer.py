@@ -45,17 +45,23 @@ DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float
 
 
 def build_model(model_key: str, model_cfg: Any, dataset_name: str,
-                compute_dtype=jnp.float32):
+                compute_dtype=jnp.float32, inference_only: bool = False):
     """Instantiate a registered model with registry-resolved head sizes
     (reference wiring: build_utils.py:38-51, vqa2/builder.py:40-48)."""
     cls = registry.get_model_class(model_key)
     num_final = registry.get(f"{dataset_name}_num_final_outputs")
     proc = registry.get(f"{dataset_name}_answer_processor")
+    kwargs = {}
+    if inference_only and "inference_only" in getattr(
+        cls, "__dataclass_fields__", {}
+    ):
+        kwargs["inference_only"] = True
     return cls(
         config=model_cfg,
         num_final_outputs=int(num_final),
         bos_idx=int(proc.BOS_IDX),
         compute_dtype=compute_dtype,
+        **kwargs,
     )
 
 
@@ -175,9 +181,17 @@ class BaseTrainer:
                 f"config; available: {sorted(self.config.model_attributes)}"
             )
         self.model_cfg = self.config.model_attributes[model_key]
-        self.model = build_model(
-            model_key, self.model_cfg, self.dataset_name, self.compute_dtype
+        # prediction-only runs take the serving path (skips the contrastive
+        # variants; predictions are identical — losses just can't be logged)
+        serving = bool(getattr(tp, "evalai_inference", False)) and (
+            "train" not in self.run_type
         )
+        self.model = build_model(
+            model_key, self.model_cfg, self.dataset_name, self.compute_dtype,
+            inference_only=serving,
+        )
+        if serving:
+            self.logger.write("serving mode: single-variant inference path")
 
         if tpu_cfg is not None and getattr(tpu_cfg, "use_pallas", False):
             from vitxtgqa_tpu.ops.attention import set_use_pallas
