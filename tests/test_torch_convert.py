@@ -123,3 +123,39 @@ def test_shape_mismatch_raises():
     fake_params["classifier"] = {"weight": np.zeros((17, 64), np.float32)}
     with pytest.raises(ValueError):
         TC.convert_into_params(flat, fake_params, strict=False)
+
+
+def test_m4c_conversion_covers_model_params():
+    import numpy as np
+
+    from vitxtgqa_tpu.models.m4c import M4C
+    from vitxtgqa_tpu.utils.synthetic import synthetic_batch, tiny_model_config
+
+    FRAMES, OPF = 8, 3
+    N = FRAMES * OPF
+    cfg = tiny_model_config(hidden=64, frames=FRAMES, ocr_per_frame=OPF)
+    batch = synthetic_batch(
+        batch=2, frames=FRAMES, ocr_per_frame=OPF, dec_steps=4, text_len=10,
+        video_feat_dim=32, fasttext_dim=16, phoc_dim=24,
+        num_final_outputs=32 + N, text_vocab=128,
+    )
+    model = M4C(config=cfg, num_final_outputs=32 + N, bos_idx=2)
+    params = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1),
+         "gumbel": jax.random.key(2)},
+        batch, train=True,
+    )["params"]
+
+    sd = _make_reference_t2s_state(vf=32, ft=16, ph=24, nv=32)
+    # m4c: obj input is the raw middle-frame feature, ocr is fasttext+phoc
+    _fake_linear(sd, "linear_obj_feat_to_mmt_in", 32, 64)
+    _fake_linear(sd, "linear_ocr_feat_to_mmt_in", 16 + 24, 64)
+    _fake_linear(sd, "PostHoc.q_linear", 64, 64)
+    _fake_linear(sd, "PostHoc.self_attn", 64, 1)
+    flat = TC.convert_t2s_like(
+        sd, text_layers=1, mmt_layers=2, has_qtv=False, has_grounding=False,
+        has_posthoc=True, obj_has_frame_embed=False, ocr_has_ids=False,
+    )
+    target_keys = set(TC.flatten(jax.tree_util.tree_map(np.asarray, params)))
+    assert set(flat) <= target_keys, sorted(set(flat) - target_keys)[:5]
+    assert not (target_keys - set(flat)), sorted(target_keys - set(flat))[:8]

@@ -103,12 +103,14 @@ def convert_t2s_like(sd: Dict[str, np.ndarray],
                      text_layers: int = 3, qtv_layers: int = 2,
                      mmt_layers: int = 3, has_qtv: bool = True,
                      has_grounding: bool = True,
+                     has_posthoc: bool = False,
                      obj_has_frame_embed: bool = True,
                      ocr_has_ids: bool = True) -> Dict[str, np.ndarray]:
     """Reference t2s/m4c-family state dict -> flat {path: array}.
 
     Flags cover the family differences: m4c sets has_qtv=False,
-    has_grounding=False, obj_has_frame_embed=False, ocr_has_ids=False.
+    has_grounding=False, has_posthoc=True, obj_has_frame_embed=False,
+    ocr_has_ids=False.
     """
     out: Dict[str, np.ndarray] = {}
     convert_text_bert(sd, "text_bert", "text_bert", text_layers, out)
@@ -142,6 +144,14 @@ def convert_t2s_like(sd: Dict[str, np.ndarray],
             [
                 ("Grounding_Module.q_linear", "grounding/q_linear", "linear"),
                 ("Grounding_Module.self_attn", "grounding/self_attn", "linear"),
+            ],
+            sd, out,
+        )
+    if has_posthoc:
+        _emit(
+            [
+                ("PostHoc.q_linear", "posthoc/q_linear", "linear"),
+                ("PostHoc.self_attn", "posthoc/self_attn", "linear"),
             ],
             sd, out,
         )
