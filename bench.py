@@ -26,7 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_A100_VIDEOS_PER_SEC = 15.0
-BATCH = int(os.environ.get("BENCH_BATCH", "96"))
+BATCH = int(os.environ.get("BENCH_BATCH", "192"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 # default off: the Pallas kernel is interpret-mode validated, but Mosaic
 # compilation hangs on this environment's remote-compile TPU tunnel
