@@ -1,9 +1,11 @@
 """Headline benchmark: T2S eval throughput (videos/sec/chip).
 
 Measures the flagship serving path — full T2S grounded-QA inference (modality
-encoders + QTV + grounding + triple-variant KV-cached 12-step greedy decode)
-at production dims (20+64+960 tokens, 768 hidden, batch 48, bfloat16 compute)
-on the available accelerator.
+encoders + QTV + grounding + KV-cached 12-step greedy pointer decode) at
+production dims (20+64+960 tokens, 768 hidden, batch 192, bfloat16) on the
+available accelerator.  Serving runs the single pos variant (predictions are
+bit-identical to the reference's triple contrastive pass — tested);
+BENCH_FULL_EVAL=1 measures the 3-variant validation path.
 
 vs_baseline compares against an estimated reference throughput of 15
 videos/sec on one A100: the reference re-runs the full 1056-token MMT
