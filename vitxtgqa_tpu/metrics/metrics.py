@@ -103,7 +103,19 @@ def _box_predictions(tensors, output, host, ctx):
     o_topk = int(np.asarray(output["ocr_topk"]))
     preds = []
     for i, qid in enumerate(np.asarray(tensors["question_id"]).tolist()):
-        gt = ctx.ground_index[qid]
+        gt = ctx.ground_index.get(qid)
+        if gt is None:
+            # unannotated question: counts as a miss rather than crashing
+            # (the reference indexes blindly and would raise,
+            # metrics.py:264-265)
+            preds.append(
+                {
+                    "pred_frame": frames[i], "pred_box": boxes[i],
+                    "frame_topk": f_topk, "ocr_topk": o_topk,
+                    "st_gt": [], "video_fps": 10, "width": 1, "height": 1,
+                }
+            )
+            continue
         preds.append(
             {
                 "pred_frame": frames[i],
