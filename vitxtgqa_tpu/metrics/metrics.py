@@ -34,12 +34,22 @@ class GroundTruthIndex:
     def __init__(self, path: str):
         rows = np.load(path, allow_pickle=True)[1:]  # row 0 is metadata
         self.by_qid = {int(r["question_id"]): r for r in rows}
-
-    def __getitem__(self, qid: int):
-        return self.by_qid[int(qid)]
+        self.misses = 0  # unannotated-qid lookups (diagnostic)
 
     def get(self, qid: int, default=None):
-        return self.by_qid.get(int(qid), default)
+        hit = self.by_qid.get(int(qid), default)
+        if hit is default:
+            self.misses += 1
+            if self.misses in (1, 100, 10000):
+                import warnings
+
+                warnings.warn(
+                    f"question_id {qid} missing from the grounding "
+                    f"annotation index ({self.misses} misses so far) — "
+                    "check the ground_infos path; unannotated samples score "
+                    "as grounding misses and stay in the denominator"
+                )
+        return hit
 
 
 class MetricContext:
@@ -103,29 +113,21 @@ def _box_predictions(tensors, output, host, ctx):
     o_topk = int(np.asarray(output["ocr_topk"]))
     preds = []
     for i, qid in enumerate(np.asarray(tensors["question_id"]).tolist()):
+        # unannotated questions score as misses and remain in the
+        # denominator (documented deviation: the reference indexes blindly
+        # and crashes on a missing qid, metrics.py:264-265; scores over
+        # partially annotated splits are therefore lower bounds)
         gt = ctx.ground_index.get(qid)
-        if gt is None:
-            # unannotated question: counts as a miss rather than crashing
-            # (the reference indexes blindly and would raise,
-            # metrics.py:264-265)
-            preds.append(
-                {
-                    "pred_frame": frames[i], "pred_box": boxes[i],
-                    "frame_topk": f_topk, "ocr_topk": o_topk,
-                    "st_gt": [], "video_fps": 10, "width": 1, "height": 1,
-                }
-            )
-            continue
         preds.append(
             {
                 "pred_frame": frames[i],
                 "pred_box": boxes[i],
                 "frame_topk": f_topk,
                 "ocr_topk": o_topk,
-                "st_gt": gt["spatial_temporal_gt"],
-                "video_fps": gt["fps"],
-                "width": gt["width"],
-                "height": gt["height"],
+                "st_gt": gt["spatial_temporal_gt"] if gt is not None else [],
+                "video_fps": gt["fps"] if gt is not None else 10,
+                "width": gt["width"] if gt is not None else 1,
+                "height": gt["height"] if gt is not None else 1,
             }
         )
     return preds
