@@ -102,3 +102,24 @@ def test_reference_config_parses_if_available():
     cfg = build_config(ref)
     assert cfg.model_attributes.t2s.ocr.mmt_in_dim == 1004
     assert cfg.dataset_attributes.vtextgqa.frames == 64
+
+
+def test_all_reference_configs_parse_if_available():
+    """SURVEY §7.2 acceptance: every reference experiment config parses and
+    resolves to a model registered in this framework."""
+    import glob
+
+    ref_dir = "/root/reference/configs"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference tree not mounted")
+    import vitxtgqa_tpu
+    from vitxtgqa_tpu.core.registry import registry
+
+    vitxtgqa_tpu.setup_imports()
+    paths = sorted(glob.glob(os.path.join(ref_dir, "*.yml")))
+    assert len(paths) == 7
+    for path in paths:
+        cfg = build_config(path)
+        (model_key,) = list(cfg.model_attributes)
+        assert model_key in registry.list("model"), (path, model_key)
+        assert cfg.training_parameters.batch_size == 48

@@ -32,6 +32,9 @@ from vitxtgqa_tpu.ops.masks import length_mask
 
 
 @registry.register_model("gt_box")
+@registry.register_model("T2S_human")  # the reference's gt_box_clipocr.yml
+# keys its model block "T2S_human" while the class registers as "gt_box"
+# (reference: configs/gt_box_clipocr.yml:62 vs gt_box.py:23) — alias both
 class GTBox(JointQAModel):
     config: Any
     num_final_outputs: int
