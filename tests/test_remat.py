@@ -32,3 +32,24 @@ def test_remat_grads_match():
     p2, g2 = _grads(True)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_remat_encode_with_cache_path():
+    """Eval's cached-decode methods must work while remat is enabled
+    (regression: flax remat rejects the bool return_kv kwarg)."""
+    C.set_remat(True)
+    try:
+        cfg = C.TransformerConfig(
+            hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+            intermediate_size=64,
+        )
+        enc = C.TransformerEncoder(cfg)
+        x = jax.random.normal(jax.random.key(0), (2, 8, 32))
+        bias = jnp.zeros((2, 1, 1, 8))
+        params = enc.init(jax.random.key(1), x, bias)["params"]
+        h, kvs = enc.apply(
+            {"params": params}, x, bias, method="encode_with_cache"
+        )
+        assert h.shape == (2, 8, 32) and len(kvs) == 1
+    finally:
+        C.set_remat(False)

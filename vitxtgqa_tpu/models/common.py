@@ -132,19 +132,23 @@ class TransformerEncoder(nn.Module):
     cfg: TransformerConfig
 
     def setup(self):
-        layer_cls = (
-            nn.remat(TransformerLayer, static_argnums=(2, 3))
-            if _GLOBAL_REMAT
-            else TransformerLayer
-        )
+        # remat wraps only the full-sequence train path (__call__); the
+        # cached-decode methods keep the raw layers — flax remat cannot take
+        # bool kwargs like return_kv, and eval needs no rematerialisation
         self.layers = [
-            layer_cls(self.cfg, name=f"layer_{i}")
+            TransformerLayer(self.cfg, name=f"layer_{i}")
             for i in range(self.cfg.num_hidden_layers)
         ]
 
     def __call__(self, x, bias, deterministic: bool = True):
-        for layer in self.layers:
-            x = layer(x, bias, deterministic)
+        if _GLOBAL_REMAT:
+            for layer in self.layers:
+                x = nn.remat(
+                    TransformerLayer.__call__, static_argnums=(3,)
+                )(layer, x, bias, deterministic)
+        else:
+            for layer in self.layers:
+                x = layer(x, bias, deterministic)
         return x
 
     def encode_with_cache(self, x, bias, deterministic: bool = True):
