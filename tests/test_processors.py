@@ -156,3 +156,40 @@ def test_m4c_answer_match_cap():
         "zzz", p.answer_vocab.word2idx_dict, {"zzz": list(range(30))}
     )
     assert len(seqs) == 20
+
+
+def test_m4c_answer_vocab_and_ocr_sequence_enumeration():
+    """Sequence matching order: vocab index first, then OCR positions in
+    ascending order; multi-word answers take the cartesian product in
+    front-to-back word order (reference: processors.py:1015-1054)."""
+    p = _answer_processor()
+    nv = p.answer_vocab.num_vocab
+    ctx = {"stop": [3, 7], "sign": [1]}
+    seqs = p.match_answer_to_vocab_ocr_seq(
+        "stop sign", p.answer_vocab.word2idx_dict, ctx
+    )
+    stop_v = p.answer_vocab.word2idx("stop")
+    sign_v = p.answer_vocab.word2idx("sign")
+    assert seqs == [
+        (stop_v, sign_v), (stop_v, nv + 1),
+        (nv + 3, sign_v), (nv + 3, nv + 1),
+        (nv + 7, sign_v), (nv + 7, nv + 1),
+    ]
+    # unmatched word anywhere kills the whole answer
+    assert p.match_answer_to_vocab_ocr_seq(
+        "stop zzz", p.answer_vocab.word2idx_dict, {"stop": [0], "zzz": []}
+    ) == []
+
+
+def test_m4c_answer_step0_max_over_answers():
+    """Step-0 score for a shared first token is the max over answers
+    (reference comment: processors.py:1122-1128)."""
+    p = _answer_processor()
+    # "coffee shop" (5/10) and "coffee" (5/10): both start with "coffee",
+    # soft scores are 1.0 each here, so craft an uneven split instead
+    ans = ["coffee shop"] * 8 + ["coffee"] * 2
+    out = p({"answers": ans, "context_tokens": ["x"] * 8})
+    cidx = p.answer_vocab.word2idx("coffee")
+    # "coffee shop" scores min(1,7/3)=1.0; "coffee" scores min(1,1/3)=1/3
+    # -> step-0 "coffee" entry takes the max = 1.0
+    assert out["answers_scores"][0, cidx] == 1.0
