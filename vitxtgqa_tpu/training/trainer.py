@@ -190,6 +190,12 @@ class BaseTrainer:
             model_key, self.model_cfg, self.dataset_name, self.compute_dtype,
             inference_only=serving,
         )
+        if tpu_cfg is not None and getattr(tpu_cfg, "variant_scan", False):
+            if "train_variant_scan" in getattr(
+                type(self.model), "__dataclass_fields__", {}
+            ):
+                self.model = self.model.replace(train_variant_scan=True)
+                self.logger.write("variant-scan training path enabled")
         if serving:
             self.logger.write("serving mode: single-variant inference path")
 
