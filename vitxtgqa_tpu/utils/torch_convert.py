@@ -232,14 +232,12 @@ def convert_into_params(flat: Dict[str, np.ndarray], params: Any,
 # -- ViT (HF ViTModel) ------------------------------------------------------
 
 def load_torch_vit_params(path: str, cfg) -> Any:
-    """HF ViTModel checkpoint -> vitxtgqa_tpu.models.vit.ViT params."""
-    sd = load_state_dict(path)
+    """HF ViTModel checkpoint file -> vitxtgqa_tpu.models.vit.ViT params."""
+    return convert_vit_state(load_state_dict(path), cfg)
 
-    def strip(prefix):
-        return {
-            k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)
-        }
 
+def convert_vit_state(sd: Dict[str, np.ndarray], cfg) -> Any:
+    """HF ViTModel state dict -> vitxtgqa_tpu.models.vit.ViT params."""
     sd = {k.replace("vit.", "", 1) if k.startswith("vit.") else k: v
           for k, v in sd.items()}
     out: Dict[str, np.ndarray] = {}
