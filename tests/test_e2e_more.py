@@ -89,3 +89,26 @@ def test_resume_from_checkpoint(fixture_data, tmp_path, repo_root):
     )
     # resumed at iteration 2, ran one more step
     assert trainer.iteration == 3
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model", ["t5vitevqa", "transtr", "mist"])
+def test_baseline_models_val_inference(model, fixture_data, tmp_path, repo_root):
+    """Every remaining baseline runs val inference end-to-end through the CLI
+    on fixtures (selectors, configs and metrics wired together)."""
+    sys.path.insert(0, repo_root)
+    from tools.run import run
+    from vitxtgqa_tpu.core.registry import registry
+
+    registry.clear_state()
+    trainer = run(
+        [
+            "--config", os.path.join(repo_root, "configs", f"{model}_abinet.yml"),
+            "--model", model, "--datasets", "vtextgqa", "--run_type", "val",
+        ]
+        + _opts(fixture_data, tmp_path, model)
+    )
+    loss_avg, metric_avg = trainer.evaluate("val")
+    assert "total_loss" in loss_avg
+    for key in ("textvqa_accuracy", "IOU@0.5", "GQA@0.5"):
+        assert f"vtextgqa/{key}" in metric_avg, (model, key)

@@ -10,7 +10,14 @@ pythia/models/t2s.py:434-518):
   * gumbel hard pos/neg splits use jax.random with straight-through
     gradients;
   * the scatter/nonzero index plumbing (dynamic shapes in torch) becomes
-    top_k + one-hot + equality matrices, all static.
+    top_k + one-hot + equality matrices, all static;
+  * NOTE on the negative stream: the reference takes bottom-k over scores
+    filled with -10000 outside the gumbel-negative set, so the selection is
+    dominated by -10000 ties (often positions outside the negative set
+    entirely) and torch's tie order is arbitrary
+    (spatio_temporal_grounding.py:57-63).  jax breaks those ties by index —
+    the selected masked-score multiset matches the reference exactly (tested
+    under shared noise) but the specific tied indices may differ.
 """
 
 from __future__ import annotations
