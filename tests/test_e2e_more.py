@@ -92,21 +92,30 @@ def test_resume_from_checkpoint(fixture_data, tmp_path, repo_root):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("model", ["t5vitevqa", "transtr", "mist"])
-def test_baseline_models_val_inference(model, fixture_data, tmp_path, repo_root):
-    """Every remaining baseline runs val inference end-to-end through the CLI
-    on fixtures (selectors, configs and metrics wired together)."""
+@pytest.mark.parametrize("model,config", [
+    ("t5vitevqa", "t5vitevqa_abinet.yml"),
+    ("transtr", "transtr_abinet.yml"),
+    ("mist", "mist_abinet.yml"),
+    # ablations share the t2s attribute block (lone-entry fallback)
+    ("t2s_wo_tg", "t2s_abinet.yml"),
+    ("t2s_wo_sg", "t2s_abinet.yml"),
+])
+def test_baseline_models_val_inference(model, config, fixture_data, tmp_path,
+                                       repo_root):
+    """Every remaining baseline and ablation runs val inference end-to-end
+    through the CLI on fixtures (selectors, configs, metrics wired)."""
     sys.path.insert(0, repo_root)
     from tools.run import run
     from vitxtgqa_tpu.core.registry import registry
 
+    attr_key = "t2s" if model.startswith("t2s") else model
     registry.clear_state()
     trainer = run(
         [
-            "--config", os.path.join(repo_root, "configs", f"{model}_abinet.yml"),
+            "--config", os.path.join(repo_root, "configs", config),
             "--model", model, "--datasets", "vtextgqa", "--run_type", "val",
         ]
-        + _opts(fixture_data, tmp_path, model)
+        + _opts(fixture_data, tmp_path, attr_key)
     )
     loss_avg, metric_avg = trainer.evaluate("val")
     assert "total_loss" in loss_avg

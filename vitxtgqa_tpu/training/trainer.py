@@ -176,11 +176,22 @@ class BaseTrainer:
 
         model_key = self.config.model
         if model_key not in self.config.model_attributes:
-            raise KeyError(
-                f"model {model_key!r} has no model_attributes entry in the "
-                f"config; available: {sorted(self.config.model_attributes)}"
-            )
-        self.model_cfg = self.config.model_attributes[model_key]
+            # ablation variants (t2s_wo_tg/t2s_wo_sg) share the t2s attribute
+            # block: a lone model_attributes entry serves any --model
+            if len(self.config.model_attributes) == 1:
+                (only,) = list(self.config.model_attributes)
+                self.logger.write(
+                    f"model {model_key!r} using the {only!r} attribute block"
+                )
+                self.model_cfg = self.config.model_attributes[only]
+            else:
+                raise KeyError(
+                    f"model {model_key!r} has no model_attributes entry in "
+                    f"the config; available: "
+                    f"{sorted(self.config.model_attributes)}"
+                )
+        else:
+            self.model_cfg = self.config.model_attributes[model_key]
         # prediction-only runs take the serving path (skips the contrastive
         # variants; predictions are identical — losses just can't be logged)
         serving = bool(getattr(tp, "evalai_inference", False)) and (
