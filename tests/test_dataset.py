@@ -137,3 +137,20 @@ def test_update_registry_for_model(val_dataset):
     nv = val_dataset.answer_processor.get_true_vocab_size()
     assert registry.get("vtextgqa_num_final_outputs") == nv + 960
     assert registry.get("vtextgqa_answer_processor") is not None
+
+
+def test_threaded_loader_matches_serial(val_dataset):
+    """Thread-pool assembly yields the same deterministic fields in the same
+    order (answer teacher-forcing is sampled per fetch by design, so target
+    fields are excluded)."""
+    stochastic = {"targets", "train_prev_inds", "train_loss_mask"}
+    serial = DataLoader(val_dataset, batch_size=2, shuffle=False, num_workers=0)
+    threaded = DataLoader(val_dataset, batch_size=2, shuffle=False, num_workers=4)
+    for bs, bt in zip(serial, threaded):
+        for key in bs["tensors"]:
+            if key in stochastic:
+                continue
+            np.testing.assert_array_equal(
+                bs["tensors"][key], bt["tensors"][key], err_msg=key
+            )
+        assert bs["host"]["context_tokens"] == bt["host"]["context_tokens"]
