@@ -98,6 +98,12 @@ def _run_once(batch_size: int):
     # warmup/compile
     digest = float(eval_step(params, dev_batch, jnp.int32(0)))
 
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+        float(eval_step(params, dev_batch, jnp.int32(99)))
+        jax.profiler.stop_trace()
+
     t0 = time.perf_counter()
     seed = jnp.int32(1)
     for _ in range(ITERS):
