@@ -74,6 +74,71 @@ def info_nce(batch, model_output, temperature: float = 0.1, **_):
     return -logprobs[:, 0].mean()
 
 
+@registry.register_loss("bce")
+def bce(batch, model_output, **_):
+    """Plain BCE on probability scores, scaled by the target width.
+
+    Reference: losses.py:176-197 (`binary_cross_entropy` on probabilities,
+    mean reduction, multiplied by ``targets.size(1)``).
+    """
+    scores = model_output["scores"].astype(jnp.float32)
+    targets = batch["targets"].astype(jnp.float32)
+    eps = 1e-12
+    losses = -(targets * jnp.log(jnp.maximum(scores, eps))
+               + (1.0 - targets) * jnp.log(jnp.maximum(1.0 - scores, eps)))
+    return losses.mean() * targets.shape[1]
+
+
+def _kl_div(log_x, y):
+    """sum_j y * (log y - log_x) with 0*log0 := 0 (reference: losses.py:199-207)."""
+    log_y = jnp.where(y == 0, 0.0, jnp.log(jnp.where(y == 0, 1.0, y)))
+    return jnp.sum(y * (log_y - log_x), axis=1, keepdims=True)
+
+
+@registry.register_loss("bce_kl_combined")
+def bce_kl_combined(batch, model_output, weight_softmax: float = 1.0, **_):
+    """weight_softmax * KL(target_norm || softmax(pred)) + width-scaled BCE.
+
+    Reference: losses.py:270-297 (`CombinedLoss`): targets normalised to a
+    distribution (zero-sum rows get 1e-6 denominators), KL against
+    log_softmax over dim 1 averaged per-sample, plus BCE-with-logits mean
+    times the target width.
+    """
+    pred = model_output["scores"].astype(jnp.float32)
+    target = batch["targets"].astype(jnp.float32)
+
+    tar_sum = jnp.sum(target, axis=1, keepdims=True)
+    tar_sum = jnp.where(tar_sum == 0, 1.0e-06, tar_sum)
+    tar = target / tar_sum
+
+    res = jax.nn.log_softmax(pred, axis=1)
+    loss1 = jnp.sum(_kl_div(res, tar)) / pred.shape[0]
+
+    loss2 = _bce_with_logits(pred, target).mean() * target.shape[1]
+    return weight_softmax * loss1 + loss2
+
+
+@registry.register_loss("multi")
+def multi(batch, model_output, params: List[Any] = (), **_):
+    """Weighted sum of sub-losses (reference: losses.py:210-266).
+
+    Each entry of ``params`` is a loss config dict ({type, weight, params});
+    the sub-loss values are combined into one scalar.
+    """
+    total = 0.0
+    for sub in params:
+        name = sub["type"] if isinstance(sub, dict) else sub.type
+        weight = (sub.get("weight", 1.0) if isinstance(sub, dict)
+                  else getattr(sub, "weight", 1.0))
+        sub_params = (sub.get("params", {}) if isinstance(sub, dict)
+                      else getattr(sub, "params", {})) or {}
+        if not isinstance(sub_params, dict):
+            sub_params = dict(sub_params)
+        fn = registry._get_class("loss", name)
+        total = total + float(weight or 1.0) * fn(batch, model_output, **sub_params)
+    return total
+
+
 class Losses:
     """Config-driven weighted loss collection."""
 
@@ -85,7 +150,18 @@ class Losses:
                 (lc.get("weight", 1.0) if isinstance(lc, dict) else getattr(lc, "weight", 1.0))
                 or 1.0
             )
+            params = (lc.get("params", {}) if isinstance(lc, dict)
+                      else getattr(lc, "params", {})) or {}
+            if not isinstance(params, dict):
+                try:
+                    params = dict(params)
+                except TypeError:
+                    params = {"params": list(params)}
             fn = registry._get_class("loss", name)
+            if params:
+                import functools
+
+                fn = functools.partial(fn, **params)
             self.entries.append((name, weight, fn))
         self.dataset_name = dataset_name
 
