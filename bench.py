@@ -30,9 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_A100_VIDEOS_PER_SEC = 15.0
 BATCH = int(os.environ.get("BENCH_BATCH", "192"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
-# default off: the Pallas kernel is interpret-mode validated, but Mosaic
-# compilation hangs on this environment's remote-compile TPU tunnel
-USE_PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
+# default ON: the flash kernel (in-VMEM mask construction, resident K/V)
+# measured 361 videos/s vs 75 on the XLA fused path in the same session
+# (4.8x); main() falls back to the XLA path if Mosaic compilation fails
+USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 # serving path by default (pos variant only — identical predictions, tested);
 # BENCH_FULL_EVAL=1 measures the 3-variant validation path instead
 FULL_EVAL = os.environ.get("BENCH_FULL_EVAL", "0") == "1"

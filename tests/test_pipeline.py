@@ -1,0 +1,61 @@
+"""GPipe pipeline over transformer layers equals the sequential stack."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from vitxtgqa_tpu.models.common import TransformerConfig, TransformerEncoder
+from vitxtgqa_tpu.ops.masks import joint_mask_spec
+from vitxtgqa_tpu.parallel.pipeline import gpipe, pipeline_encoder_apply
+
+
+def _mesh(n, axis="pp"):
+    if jax.device_count() < n:
+        pytest.skip("not enough devices")
+    return Mesh(np.array(jax.devices()[:n]), (axis,))
+
+
+def test_gpipe_identity_stages():
+    """Stages that add their stage-constant: output = x + sum(constants)."""
+    mesh = _mesh(4)
+    consts = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+
+    def stage_fn(c, payload):
+        return {"h": payload["h"] + c}
+
+    x = jnp.arange(8 * 6, dtype=jnp.float32).reshape(8, 6)
+    out = gpipe(stage_fn, consts, {"h": x}, mesh, num_microbatches=4)
+    np.testing.assert_allclose(np.asarray(out["h"]), np.asarray(x) + 10.0)
+
+
+@pytest.mark.parametrize("n_stages,n_micro", [(2, 2), (2, 4), (4, 4)])
+def test_pipeline_encoder_matches_sequential(n_stages, n_micro):
+    mesh = _mesh(n_stages)
+    cfg = TransformerConfig(
+        hidden_size=32, num_hidden_layers=4, num_attention_heads=4,
+        intermediate_size=64,
+    )
+    enc = TransformerEncoder(cfg)
+    b, lenc, dec = 8, 26, 6
+    l = lenc + dec
+    x = jax.random.normal(jax.random.key(0), (b, l, 32))
+    enc_mask = (
+        jnp.arange(lenc)[None, :]
+        < jax.random.randint(jax.random.key(1), (b, 1), 10, lenc + 1)
+    ).astype(jnp.float32)
+    spec = joint_mask_spec(enc_mask, dec)
+    params = enc.init(jax.random.key(2), x, spec)["params"]
+
+    want = np.asarray(enc.apply({"params": params}, x, spec))
+    layer_params = [
+        params[f"layer_{i}"] for i in range(cfg.num_hidden_layers)
+    ]
+    got = np.asarray(
+        pipeline_encoder_apply(
+            cfg, layer_params, x, spec.to_bias(), mesh,
+            num_microbatches=n_micro,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -40,3 +40,72 @@ def test_sp_attention_no_bias():
     want = np.asarray(mha_reference(q, k, v))
     got = np.asarray(sp_attention(q, k, v, None, mesh))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sp_attention_mask_spec_prefix_lm():
+    """MaskSpec path: each shard rebuilds its own rows' prefix-LM bias."""
+    from vitxtgqa_tpu.ops.masks import joint_mask_spec, prefix_lm_bias
+
+    if jax.device_count() < 4:
+        pytest.skip("not enough devices")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+    b, h, lenc, dec = 2, 2, 26, 6
+    l = lenc + dec  # 32, divisible by 4
+    r = jax.random.split(jax.random.key(2), 3)
+    q, k, v = (jax.random.normal(key, (b, h, l, d)) for key, d in zip(r, [16] * 3))
+    enc_mask = (jnp.arange(lenc)[None, :] < jnp.asarray([[20], [26]])).astype(
+        jnp.float32
+    )
+    spec = joint_mask_spec(enc_mask, dec)
+    want = np.asarray(mha_reference(q, k, v, prefix_lm_bias(enc_mask, dec)))
+    got = np.asarray(sp_attention(q, k, v, spec, mesh))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sp_attention_per_row_bias():
+    from vitxtgqa_tpu.ops.masks import prefix_lm_bias
+
+    if jax.device_count() < 2:
+        pytest.skip("not enough devices")
+    mesh = Mesh(np.array(jax.devices()[:2]), ("sp",))
+    b, h, lenc, dec = 1, 2, 26, 6
+    l = lenc + dec
+    r = jax.random.split(jax.random.key(3), 3)
+    q, k, v = (jax.random.normal(key, (b, h, l, 8)) for key in r)
+    enc_mask = (jnp.arange(lenc)[None, :] < 22).astype(jnp.float32)
+    bias = prefix_lm_bias(enc_mask, dec)
+    want = np.asarray(mha_reference(q, k, v, bias))
+    got = np.asarray(sp_attention(q, k, v, bias, mesh))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_encoder_sequence_parallel_global_switch():
+    """set_sequence_parallel makes a whole TransformerEncoder forward
+    sequence-parallel with identical outputs."""
+    from vitxtgqa_tpu.models.common import TransformerConfig, TransformerEncoder
+    from vitxtgqa_tpu.ops.attention import set_sequence_parallel
+    from vitxtgqa_tpu.ops.masks import joint_mask_spec
+
+    if jax.device_count() < 8:
+        pytest.skip("not enough devices")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+
+    cfg = TransformerConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64,
+    )
+    enc = TransformerEncoder(cfg)
+    b, lenc, dec = 2, 58, 6
+    l = lenc + dec  # 64 = 8 x 8
+    x = jax.random.normal(jax.random.key(4), (b, l, 32))
+    enc_mask = (jnp.arange(lenc)[None, :] < 50).astype(jnp.float32).repeat(b, 0)
+    spec = joint_mask_spec(enc_mask, dec)
+    params = enc.init(jax.random.key(5), x, spec)
+
+    want = np.asarray(enc.apply(params, x, spec))
+    set_sequence_parallel(mesh)
+    try:
+        got = np.asarray(enc.apply(params, x, spec))
+    finally:
+        set_sequence_parallel(None)
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -19,9 +19,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vitxtgqa_tpu.ops.masks import (
+    MaskSpec,
     decode_step_bias,
-    prefix_lm_bias,
-    self_attention_bias,
+    joint_mask_spec,
 )
 
 
@@ -50,8 +50,7 @@ class JointQAModel(nn.Module):
             self.classifier.table(), ocr, prev_inds, deterministic
         )
         x = jnp.concatenate([txt, obj, ocr, dec_emb], axis=1)
-        bias = prefix_lm_bias(enc_mask, dec_len)
-        h = self.mmt(x, bias, deterministic)
+        h = self.mmt(x, joint_mask_spec(enc_mask, dec_len), deterministic)
         n_ocr = ocr.shape[1]
         ocr_out = h[:, -dec_len - n_ocr : -dec_len]
         dec_out = h[:, -dec_len:]
@@ -64,7 +63,7 @@ class JointQAModel(nn.Module):
         b = bN // n_variants
         x = jnp.concatenate([txt, obj, ocr], axis=1)
         enc_h, enc_kvs = self.mmt.encode_with_cache(
-            x, self_attention_bias(enc_mask), deterministic=True
+            x, MaskSpec(key_mask=enc_mask), deterministic=True
         )
         n_ocr = ocr.shape[1]
         ocr_out = enc_h[:, -n_ocr:]

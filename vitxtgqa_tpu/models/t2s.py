@@ -36,12 +36,7 @@ from vitxtgqa_tpu.models.common import (
 )
 from vitxtgqa_tpu.models.base import JointQAModel, l2_normalize
 from vitxtgqa_tpu.models.grounding import GroundingModule
-from vitxtgqa_tpu.ops.masks import (
-    decode_step_bias,
-    length_mask,
-    prefix_lm_bias,
-    self_attention_bias,
-)
+from vitxtgqa_tpu.ops.masks import MaskSpec, length_mask
 
 
 @registry.register_model("t2s")
@@ -146,7 +141,7 @@ class T2S(JointQAModel):
         (reference: t2s.py:384-432)."""
         x = jnp.concatenate([txt_emb, obj_in, ocr_in], axis=1)
         mask = jnp.concatenate([txt_mask, obj_mask, ocr_mask], axis=1)
-        h = self.qtv(x, self_attention_bias(mask), deterministic)
+        h = self.qtv(x, MaskSpec(key_mask=mask), deterministic)
         lt, lo = txt_emb.shape[1], obj_in.shape[1]
         txt_emb = txt_emb + jnp.tanh(h[:, :lt])
         obj_in = obj_in + jnp.tanh(h[:, lt : lt + lo])

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 _PALLAS_MIN_KV = 512  # below this the fused kernel gains nothing
 _GLOBAL_USE_PALLAS = False
+_SP = (None, "sp")  # (mesh, axis) for sequence-parallel attention
 
 
 def set_use_pallas(enabled: bool) -> None:
@@ -27,22 +28,60 @@ def set_use_pallas(enabled: bool) -> None:
     _GLOBAL_USE_PALLAS = bool(enabled)
 
 
+def _on_tpu() -> bool:
+    """Mosaic kernels lower only on TPU backends (the axon tunnel proxies
+    one); CPU/virtual-device runs silently use the XLA path instead."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def set_sequence_parallel(mesh, axis: str = "sp") -> None:
+    """Route every full-sequence mha through the sp shard_map formulation
+    (config: training_parameters.tpu.sequence_parallel).  Pass mesh=None to
+    disable.  Sequences not divisible by the axis size fall through to the
+    local path."""
+    global _SP
+    _SP = (mesh, axis)
+
+
 def mha(
     q: jax.Array,  # [B, H, Lq, Dh]
     k: jax.Array,  # [B, H, Lk, Dh]
     v: jax.Array,  # [B, H, Lk, Dh]
-    bias: Optional[jax.Array] = None,  # broadcastable to [B, H, Lq, Lk]
+    bias=None,  # array broadcastable to [B, H, Lq, Lk], or a masks.MaskSpec
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     use_pallas: bool = False,
 ) -> jax.Array:
     """Scaled dot-product attention; returns [B, H, Lq, Dh]."""
+    from vitxtgqa_tpu.ops.masks import MaskSpec
+
     if (
+        _SP[0] is not None
+        and dropout_rate == 0.0
+        and q.shape[2] == k.shape[2]
+        and q.shape[2] % _SP[0].shape[_SP[1]] == 0
+    ):
+        from vitxtgqa_tpu.parallel.sequence_parallel import sp_attention
+
+        return sp_attention(q, k, v, bias, _SP[0], _SP[1])
+
+    pallas_ok = (
         (use_pallas or _GLOBAL_USE_PALLAS)
         and dropout_rate == 0.0
         and k.shape[2] >= _PALLAS_MIN_KV
         and q.shape[2] > 1
-    ):
+        and _on_tpu()
+    )
+    if isinstance(bias, MaskSpec):
+        if pallas_ok and q.shape[2] == k.shape[2]:
+            from vitxtgqa_tpu.ops.pallas_attention import flash_attention
+
+            return flash_attention(q, k, v, bias.key_mask, bias.dec_len)
+        bias = bias.to_bias()
+    elif pallas_ok:
         from vitxtgqa_tpu.ops.pallas_attention import fused_attention
 
         return fused_attention(q, k, v, bias)

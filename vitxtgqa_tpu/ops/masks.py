@@ -8,9 +8,46 @@ shapes, shared by every model.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+from flax import struct
 
 NEG_INF = -10000.0  # BERT-style additive mask value (kept for parity)
+
+
+@struct.dataclass
+class MaskSpec:
+    """Compact attention-mask description for the fused kernel path.
+
+    key_mask: [B, L] — 1 where the key is a valid *encoder* token (decoder
+        slots and padding are 0).
+    dec_len: static length of the trailing causal decoder block (0 = plain
+        key-validity masking).
+
+    ``to_bias()`` materialises the same additive bias the eager builders
+    produce, so the XLA path keeps bit-identical semantics while the Pallas
+    path (ops/pallas_attention.flash_attention) consumes the spec directly
+    and never builds an [L, L] tensor in HBM.
+    """
+
+    key_mask: jax.Array
+    # static so it survives jit/remat pytree boundaries as a Python int
+    dec_len: int = struct.field(pytree_node=False, default=0)
+
+    def to_bias(self) -> jax.Array:
+        if self.dec_len == 0:
+            return self_attention_bias(self.key_mask)
+        enc = self.key_mask[:, : self.key_mask.shape[1] - self.dec_len]
+        return prefix_lm_bias(enc, self.dec_len)
+
+
+def joint_mask_spec(enc_mask, dec_len: int) -> MaskSpec:
+    """enc_mask [B, Lenc] -> MaskSpec over the joint [enc|dec] sequence."""
+    b = enc_mask.shape[0]
+    key_mask = jnp.concatenate(
+        [enc_mask, jnp.zeros((b, dec_len), enc_mask.dtype)], axis=1
+    )
+    return MaskSpec(key_mask=key_mask, dec_len=dec_len)
 
 
 def length_mask(lengths, max_len: int):

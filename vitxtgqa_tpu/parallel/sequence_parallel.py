@@ -10,8 +10,12 @@ For 1056 tokens the all-gather-KV formulation is the right one — K/V for a
 full head is ~260KB, far below ICI/HBM limits; ring attention only pays off
 at orders-of-magnitude longer sequences (noted in ROADMAP.md).
 
-Usage: wrap an attention call whose inputs are sharded [B, H, L/sp, D] along
-the sequence axis.
+Integration: `set_sp(mesh, axis)` (config:
+training_parameters.tpu.sequence_parallel) makes every full-sequence
+`ops.attention.mha` call route here, so all transformer stacks become
+sequence-parallel without model changes.  Masks arrive either as additive
+bias tensors or as a compact ops.masks.MaskSpec — for the latter each shard
+rebuilds only its own query rows' bias from the gathered key mask.
 """
 
 from __future__ import annotations
@@ -24,41 +28,103 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from vitxtgqa_tpu.ops.attention import mha_reference
+from vitxtgqa_tpu.ops.masks import NEG_INF, MaskSpec
+
+_SP_MESH: Optional[Mesh] = None
+_SP_AXIS: str = "sp"
+
+
+def set_sp(mesh: Optional[Mesh], axis: str = "sp") -> None:
+    """Process-wide sequence-parallel switch consumed by ops.attention.mha."""
+    global _SP_MESH, _SP_AXIS
+    _SP_MESH = mesh
+    _SP_AXIS = axis
+
+
+def get_sp():
+    return _SP_MESH, _SP_AXIS
+
+
+def _local_rows_bias(key_mask_full, dec_len: int, row_offset, l_local: int):
+    """Bias for this shard's query rows from the full [B, L] key mask.
+
+    Reproduces masks.prefix_lm_bias row-slice semantics: every row sees
+    valid encoder keys; rows in the decoder block additionally see decoder
+    keys causally.
+    """
+    b, l = key_mask_full.shape
+    l_enc = l - dec_len
+    rows = row_offset + jnp.arange(l_local)[:, None]  # [l_local, 1] global q idx
+    cols = jnp.arange(l)[None, :]  # [1, L]
+    allowed = key_mask_full[:, None, :] > 0  # [B, 1, L]
+    if dec_len > 0:
+        causal = (
+            (cols >= l_enc) & (cols < l) & (rows >= l_enc)
+            & (cols - l_enc <= rows - l_enc)
+        )  # [l_local, L]
+        allowed = allowed | causal[None]
+    return jnp.where(allowed, 0.0, NEG_INF)[:, None, :, :]  # [B,1,l_local,L]
 
 
 def sp_attention(
     q: jax.Array,  # [B, H, L, D] global view
     k: jax.Array,
     v: jax.Array,
-    bias: Optional[jax.Array],  # [B, 1, 1, L] key-validity bias or None
+    bias,  # None | [B,1,1,L] | [B,1,L,L] | MaskSpec
     mesh: Mesh,
     axis: str = "sp",
 ) -> jax.Array:
     """Attention with the sequence dim sharded over `axis`.
 
-    Each shard holds L/sp query rows; keys/values/bias all-gather inside the
-    mapped function so softmax normalisation spans the full sequence.
+    Each shard holds L/sp query rows; keys/values (and the key mask) all-
+    gather inside the mapped function so softmax normalisation spans the
+    full sequence.
     """
     n_shards = mesh.shape[axis]
     l = q.shape[2]
     assert l % n_shards == 0, (l, n_shards)
+    l_local = l // n_shards
+
+    spec = P(None, None, axis, None)
+
+    if isinstance(bias, MaskSpec):
+        key_mask, dec_len = bias.key_mask, bias.dec_len
+
+        def local(q_s, k_s, v_s, mask_s):
+            k_full = jax.lax.all_gather(k_s, axis, axis=2, tiled=True)
+            v_full = jax.lax.all_gather(v_s, axis, axis=2, tiled=True)
+            mask_full = jax.lax.all_gather(mask_s, axis, axis=1, tiled=True)
+            offset = jax.lax.axis_index(axis) * l_local
+            bias_local = _local_rows_bias(mask_full, dec_len, offset, l_local)
+            return mha_reference(q_s, k_full, v_full, bias_local)
+
+        mapped = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, P(None, axis)),
+            out_specs=spec,
+        )
+        return mapped(q, k, v, key_mask.astype(jnp.float32))
+
+    per_row = bias is not None and bias.shape[2] != 1
 
     def local(q_s, k_s, v_s, bias_s):
         k_full = jax.lax.all_gather(k_s, axis, axis=2, tiled=True)
         v_full = jax.lax.all_gather(v_s, axis, axis=2, tiled=True)
-        bias_full = (
-            jax.lax.all_gather(bias_s, axis, axis=3, tiled=True)
-            if bias_s is not None
-            else None
-        )
-        return mha_reference(q_s, k_full, v_full, bias_full)
+        if bias_s is not None and not per_row:
+            bias_s = jax.lax.all_gather(bias_s, axis, axis=3, tiled=True)
+        return mha_reference(q_s, k_full, v_full, bias_s)
 
-    specs = P(None, None, axis, None)
-    bias_spec = P(None, None, None, axis) if bias is not None else None
+    if bias is None:
+        bias_spec = None
+    elif per_row:
+        bias_spec = P(None, None, axis, None)  # rows shard with queries
+    else:
+        bias_spec = P(None, None, None, axis)  # key-validity row gathers
     mapped = shard_map(
         local,
         mesh=mesh,
-        in_specs=(specs, specs, specs, bias_spec),
-        out_specs=specs,
+        in_specs=(spec, spec, spec, bias_spec),
+        out_specs=spec,
     )
     return mapped(q, k, v, bias)
