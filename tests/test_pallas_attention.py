@@ -117,6 +117,148 @@ def test_mask_spec_to_bias_equivalence():
     )
 
 
+def test_flash_backward_matches_reference_grads():
+    b, h, lenc, dec = 2, 2, 40, 6
+    l = lenc + dec
+    q, k, v = _qkv(b=b, h=h, l=l, d=16, seed=7)
+    enc_mask = (jnp.arange(lenc)[None, :] < jnp.asarray([[33], [40]])).astype(
+        jnp.float32
+    )
+    spec = joint_mask_spec(enc_mask, dec)
+
+    f = lambda q, k, v: flash_attention(
+        q, k, v, spec.key_mask, dec_len=dec, interpret=True
+    ).sum()
+    ref = lambda q, k, v: mha_reference(
+        q, k, v, prefix_lm_bias(enc_mask, dec)
+    ).sum()
+    g1 = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)
+
+
+def test_flash_backward_multi_block_accumulation():
+    """dk/dv accumulate across q-blocks in resident output blocks."""
+    b, h, lenc, dec = 1, 2, 250, 6
+    l = lenc + dec
+    q, k, v = _qkv(b=b, h=h, l=l, d=16, seed=8)
+    enc_mask = (jnp.arange(lenc)[None, :] < 200).astype(jnp.float32)
+    spec = joint_mask_spec(enc_mask, dec)
+
+    f = lambda q, k, v: (flash_attention(
+        q, k, v, spec.key_mask, dec_len=dec, block_q=128, interpret=True
+    ) * jnp.arange(l)[None, None, :, None]).sum()
+    ref = lambda q, k, v: (mha_reference(
+        q, k, v, prefix_lm_bias(enc_mask, dec)
+    ) * jnp.arange(l)[None, None, :, None]).sum()
+    g1 = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=3e-4, rtol=1e-4
+        )
+
+
+_ON_TPU = jax.default_backend() in ("tpu", "axon")
+_TPU_ONLY = pytest.mark.skipif(
+    not _ON_TPU,
+    reason="in-kernel PRNG returns zeros in CPU interpret mode; validated "
+    "on hardware by scripts/validate_dropout_kernel.py",
+)
+
+
+@_TPU_ONLY
+def test_flash_dropout_semantics():
+    q, k, v = _qkv(l=40, d=16, seed=9)
+    mask = jnp.ones((2, 40), jnp.float32)
+    seed = jnp.int32(42)
+
+    kw = dict(dec_len=0)
+    base = flash_attention(q, k, v, mask, **kw)
+    # rate=0 ignores the seed entirely
+    np.testing.assert_array_equal(
+        np.asarray(flash_attention(q, k, v, mask, dropout_rate=0.0,
+                                   dropout_seed=seed, **kw)),
+        np.asarray(base),
+    )
+    # deterministic per seed, different across seeds, differs from no-drop
+    d1 = flash_attention(q, k, v, mask, dropout_rate=0.3, dropout_seed=seed, **kw)
+    d2 = flash_attention(q, k, v, mask, dropout_rate=0.3, dropout_seed=seed, **kw)
+    d3 = flash_attention(q, k, v, mask, dropout_rate=0.3,
+                         dropout_seed=jnp.int32(7), **kw)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    assert not np.allclose(np.asarray(d1), np.asarray(d3))
+    assert not np.allclose(np.asarray(d1), np.asarray(base))
+    # expectation preserved: mean over many seeds approaches the no-drop
+    # output (keep-prob rescaling)
+    acc = np.zeros_like(np.asarray(base))
+    n = 24
+    for s in range(n):
+        acc += np.asarray(
+            flash_attention(q, k, v, mask, dropout_rate=0.3,
+                            dropout_seed=jnp.int32(s), **kw)
+        )
+    np.testing.assert_allclose(acc / n, np.asarray(base), atol=0.25)
+
+
+@_TPU_ONLY
+def test_flash_dropout_backward_consistent():
+    """The backward kernel regenerates the same dropout pattern: grads match
+    finite differences of the (deterministic, seeded) forward."""
+    b, h, l, d = 1, 1, 16, 8
+    q, k, v = _qkv(b=b, h=h, l=l, d=d, seed=10)
+    mask = jnp.ones((b, l), jnp.float32)
+    seed = jnp.int32(3)
+
+    def f(q):
+        return flash_attention(
+            q, k, v, mask, dropout_rate=0.4, dropout_seed=seed,
+        ).sum()
+
+    g = jax.grad(f)(q)
+    # directional finite difference
+    rng = np.random.RandomState(0)
+    direction = rng.randn(*q.shape).astype(np.float32)
+    eps = 1e-3
+    num = (f(q + eps * direction) - f(q - eps * direction)) / (2 * eps)
+    ana = float(jnp.sum(g * direction))
+    np.testing.assert_allclose(num, ana, rtol=2e-2)
+
+
+def test_mha_routes_mask_spec_to_flash_kernel(monkeypatch):
+    """Wiring: with pallas enabled on a TPU backend, a MaskSpec + dropout
+    call reaches flash_attention with the in-kernel dropout args."""
+    import vitxtgqa_tpu.ops.attention as attn_mod
+    import vitxtgqa_tpu.ops.pallas_attention as pk
+
+    calls = {}
+
+    def fake_flash(q, k, v, key_mask, dec_len=0, block_q=0, interpret=False,
+                   dropout_rate=0.0, dropout_seed=None):
+        calls["args"] = dict(dec_len=dec_len, dropout_rate=dropout_rate,
+                             has_seed=dropout_seed is not None)
+        return q
+
+    monkeypatch.setattr(pk, "flash_attention", fake_flash)
+    monkeypatch.setattr(attn_mod, "_on_tpu", lambda: True)
+    monkeypatch.setattr(attn_mod, "_PALLAS_MIN_KV", 8)
+
+    b, h, lenc, dec = 1, 2, 26, 6
+    l = lenc + dec
+    q, k, v = _qkv(b=b, h=h, l=l, d=16, seed=11)
+    enc_mask = jnp.ones((b, lenc), jnp.float32)
+    spec = joint_mask_spec(enc_mask, dec)
+
+    attn_mod.mha(q, k, v, spec, use_pallas=True)
+    assert calls["args"] == {"dec_len": dec, "dropout_rate": 0.0,
+                             "has_seed": False}
+
+    attn_mod.mha(q, k, v, spec, dropout_rate=0.1,
+                 dropout_rng=jax.random.key(0), use_pallas=True)
+    assert calls["args"]["dropout_rate"] == 0.1 and calls["args"]["has_seed"]
+
+
 def test_mha_accepts_mask_spec():
     from vitxtgqa_tpu.ops.attention import mha
 

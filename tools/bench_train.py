@@ -1,0 +1,119 @@
+"""Training-throughput microbench: T2S full train step (fwd+bwd+adam).
+
+Production dims (batch from BENCH_BATCH, default 48 = the reference's
+training batch, configs/t2s_abinet.yml:135), bf16 compute, variant-scan over
+the 3 contrastive passes, optional remat.  Prints one JSON line.
+
+Env knobs: BENCH_BATCH, BENCH_ITERS, BENCH_PALLAS (default 1 — attention
+dropout runs on the in-kernel PRNG), BENCH_REMAT (default 1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = int(os.environ.get("BENCH_BATCH", "48"))
+ITERS = int(os.environ.get("BENCH_ITERS", "5"))
+USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
+USE_REMAT = os.environ.get("BENCH_REMAT", "1") == "1"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/vitxtgqa_jax_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from vitxtgqa_tpu.core.config import build_config
+    from vitxtgqa_tpu.losses import Losses
+    from vitxtgqa_tpu.models.t2s import T2S
+    from vitxtgqa_tpu.utils.synthetic import synthetic_batch
+
+    if USE_PALLAS:
+        from vitxtgqa_tpu.ops.attention import set_use_pallas
+
+        set_use_pallas(True)
+    if USE_REMAT:
+        from vitxtgqa_tpu.models.common import set_remat
+
+        set_remat(True)
+
+    cfg = build_config(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "configs", "t2s_abinet.yml")
+    ).model_attributes.t2s
+
+    num_final = 5050 + 960
+    model = T2S(
+        config=cfg, num_final_outputs=num_final, bos_idx=2,
+        compute_dtype=jnp.bfloat16, train_variant_scan=True,
+    )
+    batch = synthetic_batch(batch=BATCH, num_final_outputs=num_final, seed=0)
+
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "gumbel": jax.random.key(2)}
+    variables = jax.jit(lambda r, b: model.init(r, b, train=True))(rngs, batch)
+    params = variables["params"]
+
+    tx = optax.chain(optax.clip_by_global_norm(0.25), optax.adam(1e-4))
+    opt_state = tx.init(params)
+    losses = Losses([
+        {"type": "pos_bce_loss", "weight": 1.0},
+        {"type": "InfoNCE", "weight": 1000},
+    ])
+
+    @jax.jit
+    def train_step(params, opt_state, tensors, rng):
+        k_d, k_g = jax.random.split(rng)
+
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p}, tensors, train=True,
+                rngs={"dropout": k_d, "gumbel": k_g},
+            )
+            total, _ = losses.total(tensors, out)
+            return total
+
+        total, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, total
+
+    dev_batch = jax.device_put(batch)
+    rng = jax.random.key(7)
+
+    params, opt_state, total = train_step(params, opt_state, dev_batch, rng)
+    _ = float(total)  # D2H fence after warmup/compile
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        rng = jax.random.fold_in(rng, i)
+        params, opt_state, total = train_step(
+            params, opt_state, dev_batch, rng
+        )
+    _ = float(total)
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "t2s_train_throughput",
+        "value": round(BATCH * ITERS / dt, 2),
+        "unit": "videos/sec/chip",
+        "pallas": USE_PALLAS,
+        "remat": USE_REMAT,
+        "batch": BATCH,
+        "loss": float(total),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -70,7 +70,6 @@ def mha(
 
     pallas_ok = (
         (use_pallas or _GLOBAL_USE_PALLAS)
-        and dropout_rate == 0.0
         and k.shape[2] >= _PALLAS_MIN_KV
         and q.shape[2] > 1
         and _on_tpu()
@@ -79,9 +78,19 @@ def mha(
         if pallas_ok and q.shape[2] == k.shape[2]:
             from vitxtgqa_tpu.ops.pallas_attention import flash_attention
 
+            if dropout_rate > 0.0 and dropout_rng is not None:
+                # fold the key into an int32 seed for the in-kernel PRNG
+                seed = jax.random.randint(
+                    dropout_rng, (), 0, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32,
+                )
+                return flash_attention(
+                    q, k, v, bias.key_mask, bias.dec_len,
+                    dropout_rate=dropout_rate, dropout_seed=seed,
+                )
             return flash_attention(q, k, v, bias.key_mask, bias.dec_len)
         bias = bias.to_bias()
-    elif pallas_ok:
+    elif pallas_ok and dropout_rate == 0.0:
         from vitxtgqa_tpu.ops.pallas_attention import fused_attention
 
         return fused_attention(q, k, v, bias)

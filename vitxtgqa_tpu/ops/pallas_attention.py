@@ -2,25 +2,35 @@
 
 Two entry points:
 
-``flash_attention(q, k, v, key_mask, dec_len)`` — the production kernel.
-  Computes softmax(q k^T / sqrt(d) + bias) v per (batch, head, q-block)
-  with the *bias computed inside the kernel* from a compact [B, L] key-
-  validity vector plus a static trailing-causal block length (the joint
-  prefix-LM + decoder structure of ops/masks.prefix_lm_bias).  Nothing
-  [L, L]-shaped ever touches HBM: scores, mask, and probabilities live in
-  VMEM only.  K/V for one (batch, head) are fetched once and stay resident
-  across the q-block loop (grid iterates q fastest with a constant K/V
-  index map).
+``flash_attention(q, k, v, key_mask, dec_len, dropout_rate, dropout_seed)``
+  — the production kernel.  Computes softmax(q k^T / sqrt(d) + bias) v per
+  (batch, head, q-block) with the *bias computed inside the kernel* from a
+  compact [B, L] key-validity vector plus a static trailing-causal block
+  length (the joint prefix-LM + decoder structure of
+  ops/masks.prefix_lm_bias).  Nothing [L, L]-shaped ever touches HBM:
+  scores, mask, probabilities, and the dropout pattern live in VMEM only.
+  K/V for one (batch, head) are fetched once and stay resident across the
+  q-block loop (grid iterates q fastest with a constant K/V index map).
+
+  Attention-probs dropout runs on the in-kernel TPU PRNG, seeded
+  deterministically per (batch, head, q-block); the backward kernel re-seeds
+  identically and regenerates the same pattern, so no [L, L] mask is ever
+  stored.  The PRNG stream differs from jax.random's (documented deviation —
+  dropout is stochastic regularisation either way; the reference uses torch's
+  stream, reference: pythia/models/t2s.py:548-633 BertSelfAttention dropout).
+
+  Differentiable via jax.custom_vjp: the backward is a second Pallas kernel
+  (recompute scores -> softmax backward -> dq/dk/dv, with dk/dv accumulated
+  across q-blocks in resident output blocks).
 
 ``fused_attention(q, k, v, bias)`` — the earlier bias-tensor variant, kept
   for comparison/benchmarks; it streams a [B,1,{1,L},L] bias from HBM.
 
-Performance notes (v5e, B=4, H=12, L=1044, D=64, bf16):
-  * XLA's fused lowering (jax.nn.dot_product_attention): 6.4 ms/call
-  * fused_attention (bias tensor, D padded, per-q-block K/V): 79 ms/call
-  * flash_attention: see bench (BENCH_PALLAS=1) — removes the two known
-    bottlenecks of fused_attention: the 12x re-streamed [L, L] bias rows
-    and the tiny per-step grid work.
+Performance notes (v5e, H=12, L~1056, D=64, bf16, same-session A/B):
+  * flash vs XLA fused lowering: 15-27x per-call (e.g. 3.2ms vs 86ms at
+    B=4 prefix-LM), 4.8x whole-model serving (361 vs 75 videos/s).
+  * the older fused_attention measured 12x *slower* than XLA — its [L, L]
+    bias rows re-streamed per head and per-q-block K/V refetch dominated.
 
 Reference behaviour being replaced: eager [B, H, L, L] score tensors with
 additive -10000 masks (reference: pythia/models/t2s.py:600-633).
@@ -44,12 +54,41 @@ def _round_up(x: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# flash kernel: in-VMEM mask construction
+# flash kernel: in-VMEM mask construction (+ optional in-kernel dropout)
 # ---------------------------------------------------------------------------
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
-                  block_q, l_total, dec_len):
+def _allowed(bq, lp, qi, block_q, l_total, dec_len, key_ok):
+    """[BQ, Lp] bool attention-permission matrix for this q-block."""
+    if dec_len > 0:
+        l_enc = l_total - dec_len
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, lp), 0) + qi * block_q
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, lp), 1)
+        dec_k = jnp.logical_and(cols >= l_enc, cols < l_total)
+        causal = jnp.logical_and(
+            jnp.logical_and(dec_k, rows >= l_enc), cols - l_enc <= rows - l_enc
+        )
+        return jnp.logical_or(key_ok, causal)
+    return jnp.broadcast_to(key_ok, (bq, lp))
+
+
+def _block_uid():
+    """One int32 identifying this (b, h, q-block) grid step (Mosaic's
+    prng_seed accepts at most 2 seed values)."""
+    return (
+        pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    ) * pl.num_programs(2) + pl.program_id(2)
+
+
+def _dropout_keep(shape, rate):
+    """Regenerable keep-mask from the current PRNG stream (seed first!)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
+    return bits >= threshold  # P(keep) = 1 - rate
+
+
+def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
+                  block_q, l_total, dec_len, rate):
     """One (b, h, q-block) step; K/V blocks cover the full key range."""
     q = q_ref[0, 0]  # [BQ, Dp]
     k = k_ref[0, 0]  # [Lp, Dp]
@@ -61,121 +100,102 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
 
     bq, lp = scores.shape
     key_ok = mask_ref[0, 0:1, :] > 0  # [1, Lp] valid encoder keys
-    if dec_len > 0:
-        l_enc = l_total - dec_len
-        qi = pl.program_id(2)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, lp), 0) + qi * block_q
-        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, lp), 1)
-        dec_k = jnp.logical_and(cols >= l_enc, cols < l_total)
-        causal = jnp.logical_and(
-            jnp.logical_and(dec_k, rows >= l_enc), cols - l_enc <= rows - l_enc
-        )
-        allowed = jnp.logical_or(key_ok, causal)
-    else:
-        allowed = jnp.broadcast_to(key_ok, (bq, lp))
+    allowed = _allowed(bq, lp, pl.program_id(2), block_q, l_total, dec_len,
+                       key_ok)
 
     scores = jnp.where(allowed, scores, _NEG)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     weights = jnp.exp(scores)
     weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], _block_uid())
+        keep = _dropout_keep(weights.shape, rate)
+        weights = jnp.where(keep, weights / (1.0 - rate), 0.0)
     o_ref[0, 0] = jax.lax.dot_general(
         weights.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("dec_len", "block_q", "interpret")
-)
-def flash_attention(q, k, v, key_mask, dec_len: int = 0, block_q: int = 0,
-                    interpret: bool = False):
-    """q/k/v [B,H,L,D]; key_mask [B,L] (1 = valid encoder key, decoder and
-    padding slots 0); dec_len = static trailing causal block length.
+def _flash_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, g_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale, block_q, l_total,
+                      dec_len, rate):
+    """Backward for one (b, h, q-block); dk/dv accumulate across q-blocks
+    in their resident output blocks (index map constant over qi)."""
+    qi = pl.program_id(2)
 
-    Semantics match mha(q, k, v, prefix_lm_bias(enc_mask, dec_len)) where
-    key_mask = [enc_mask, zeros(dec_len)] — see ops/masks.MaskSpec.
+    @pl.when(qi == 0)
+    def _init():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
 
-    Differentiable: the backward pass recomputes scores/probabilities with
-    XLA einsums (standard softmax-attention gradients) — the forward stays
-    on the Pallas kernel.
-    """
-    return _flash_vjp(dec_len, block_q, interpret, q, k, v, key_mask)
+    q = q_ref[0, 0]  # [BQ, Dp]
+    k = k_ref[0, 0]  # [Lp, Dp]
+    v = v_ref[0, 0]  # [Lp, Dp]
+    g = g_ref[0, 0].astype(jnp.float32)  # [BQ, Dp]
 
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _flash_vjp(dec_len, block_q, interpret, q, k, v, key_mask):
-    return _flash_impl(q, k, v, key_mask, dec_len, block_q, interpret)
-
-
-def _allowed_mask(key_mask, dec_len: int):
-    """[B, L] key validity + static causal block -> [B, 1, L, L] bool."""
-    b, l = key_mask.shape
-    allowed = (key_mask > 0)[:, None, None, :]
-    if dec_len > 0:
-        l_enc = l - dec_len
-        rows = jnp.arange(l)[:, None]
-        cols = jnp.arange(l)[None, :]
-        causal = (cols >= l_enc) & (rows >= l_enc) & (cols <= rows)
-        allowed = allowed | causal[None, None]
-    return allowed
-
-
-def _flash_fwd(dec_len, block_q, interpret, q, k, v, key_mask):
-    out = _flash_impl(q, k, v, key_mask, dec_len, block_q, interpret)
-    return out, (q, k, v, key_mask)
-
-
-def _flash_bwd(dec_len, block_q, interpret, res, g):
-    q, k, v, key_mask = res
-    d = q.shape[-1]
-    scale = 1.0 / (d ** 0.5)
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    scores = jnp.where(_allowed_mask(key_mask, dec_len), scores, _NEG)
-    probs = jax.nn.softmax(scores, axis=-1)
+    bq, lp = scores.shape
+    key_ok = mask_ref[0, 0:1, :] > 0
+    allowed = _allowed(bq, lp, qi, block_q, l_total, dec_len, key_ok)
+    scores = jnp.where(allowed, scores, _NEG)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [BQ, Lp] fp32
 
-    g32 = g.astype(jnp.float32)
-    dv = jnp.einsum(
-        "bhqk,bhqd->bhkd", probs, g32, preferred_element_type=jnp.float32
-    )
-    dp = jnp.einsum(
-        "bhqd,bhkd->bhqk", g32, v.astype(jnp.float32),
+    if rate > 0.0:
+        # identical seeding to the forward kernel -> identical pattern
+        pltpu.prng_seed(seed_ref[0], _block_uid())
+        keep = _dropout_keep(p.shape, rate)
+        inv = 1.0 / (1.0 - rate)
+        p_dropped = jnp.where(keep, p * inv, 0.0)
+    else:
+        keep = None
+        p_dropped = p
+
+    # dV += P_d^T g
+    dv_ref[0, 0] += jax.lax.dot_general(
+        p_dropped, g, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-    dq = jnp.einsum(
-        "bhqk,bhkd->bhqd", ds, k.astype(jnp.float32),
+    # dP_d = g V^T ; dP = dP_d * keep/(1-rate)
+    dp = jax.lax.dot_general(
+        g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, Lp]
+    if rate > 0.0:
+        dp = jnp.where(keep, dp * inv, 0.0)
+    # softmax backward: dS = P * (dP - rowsum(dP * P))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    # dQ = dS K * scale
+    dq_ref[0, 0] = (jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(dq_ref.dtype)
+    # dK += dS^T Q * scale
+    dk_ref[0, 0] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
-    dk = jnp.einsum(
-        "bhqk,bhqd->bhkd", ds, q.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    return (
-        dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-        jnp.zeros_like(key_mask),
-    )
 
 
-_flash_vjp.defvjp(_flash_fwd, _flash_bwd)
-
-
-def _flash_impl(q, k, v, key_mask, dec_len: int = 0, block_q: int = 0,
-                interpret: bool = False):
-    b, h, l, d = q.shape
-    scale = 1.0 / (d ** 0.5)
-
-    l_p = _round_up(l, _LANE)
-    d_p = _round_up(d, _LANE)
+def _pick_block_q(l_p: int, block_q: int) -> int:
     if block_q <= 0:
         # full-sequence q-blocks measured fastest at the framework's 1056
         # joint tokens (fp32 scores 5.3MB in VMEM); cap to bound VMEM for
         # longer sequences
         block_q = min(l_p, 1280)
-    block_q = min(block_q, l_p)
-    lq_p = _round_up(l_p, block_q)
+    return min(block_q, l_p)
 
+
+def _pad_inputs(q, k, v, key_mask, block_q):
+    b, h, l, d = q.shape
+    l_p = _round_up(l, _LANE)
+    d_p = _round_up(d, _LANE)
+    block_q = _pick_block_q(l_p, block_q)
+    lq_p = _round_up(l_p, block_q)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_p - l), (0, d_p - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, l_p - l), (0, d_p - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, l_p - l), (0, d_p - d)))
@@ -184,15 +204,80 @@ def _flash_impl(q, k, v, key_mask, dec_len: int = 0, block_q: int = 0,
     maskp = jnp.pad(
         key_mask.astype(jnp.float32), ((0, 0), (0, l_p - l))
     )[:, None, :]
+    return qp, kp, vp, maskp, block_q, l_p, lq_p, d_p
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dec_len", "block_q", "interpret", "dropout_rate"),
+)
+def flash_attention(q, k, v, key_mask, dec_len: int = 0, block_q: int = 0,
+                    interpret: bool = False, dropout_rate: float = 0.0,
+                    dropout_seed=None):
+    """q/k/v [B,H,L,D]; key_mask [B,L] (1 = valid encoder key, decoder and
+    padding slots 0); dec_len = static trailing causal block length.
+
+    Semantics match mha(q, k, v, prefix_lm_bias(enc_mask, dec_len)) where
+    key_mask = [enc_mask, zeros(dec_len)] — see ops/masks.MaskSpec — plus
+    optional attention-probs dropout (dropout_seed: int32 scalar).
+
+    Differentiable: the backward pass is a second Pallas kernel that
+    recomputes probabilities (and the dropout pattern, from the same seed)
+    in VMEM.
+    """
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((), jnp.int32)
+    if dropout_rate > 0.0 and block_q <= 0:
+        # the dropout pattern is seeded per (b, h, q-block): forward and
+        # backward must use identical blocking, and the backward holds ~4
+        # [BQ, Lp] fp32 buffers -> pick the backward-sized default for both
+        block_q = 512
+    return _flash_vjp(
+        dec_len, block_q, interpret, float(dropout_rate), q, k, v, key_mask,
+        jnp.asarray(dropout_seed, jnp.int32).reshape(1),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _flash_vjp(dec_len, block_q, interpret, rate, q, k, v, key_mask, seed):
+    return _flash_impl(q, k, v, key_mask, seed, dec_len, block_q, interpret,
+                       rate)
+
+
+def _flash_fwd(dec_len, block_q, interpret, rate, q, k, v, key_mask, seed):
+    out = _flash_impl(q, k, v, key_mask, seed, dec_len, block_q, interpret,
+                      rate)
+    return out, (q, k, v, key_mask, seed)
+
+
+def _flash_bwd(dec_len, block_q, interpret, rate, res, g):
+    q, k, v, key_mask, seed = res
+    dq, dk, dv = _flash_bwd_impl(
+        q, k, v, key_mask, seed, g, dec_len, block_q, interpret, rate
+    )
+    return dq, dk, dv, jnp.zeros_like(key_mask), jnp.zeros_like(seed)
+
+
+_flash_vjp.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _flash_impl(q, k, v, key_mask, seed, dec_len: int = 0, block_q: int = 0,
+                interpret: bool = False, rate: float = 0.0):
+    b, h, l, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    qp, kp, vp, maskp, block_q, l_p, lq_p, d_p = _pad_inputs(
+        q, k, v, key_mask, block_q
+    )
 
     grid = (b, h, lq_p // block_q)
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, block_q=block_q, l_total=l,
-            dec_len=dec_len,
+            dec_len=dec_len, rate=rate,
         ),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
             pl.BlockSpec((1, 1, block_q, d_p), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, l_p, d_p), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, l_p, d_p), lambda bi, hi, qi: (bi, hi, 0, 0)),
@@ -213,8 +298,65 @@ def _flash_impl(q, k, v, key_mask, dec_len: int = 0, block_q: int = 0,
             transcendentals=b * h * lq_p * l_p,
         ),
         interpret=interpret,
-    )(qp, kp, vp, maskp)
+    )(seed, qp, kp, vp, maskp)
     return out[:, :, :l, :d]
+
+
+def _flash_bwd_impl(q, k, v, key_mask, seed, g, dec_len: int, block_q: int,
+                    interpret: bool, rate: float):
+    b, h, l, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    # smaller default q-blocks: the backward holds ~4 [BQ, Lp] fp32 buffers
+    if block_q <= 0:
+        block_q = 512
+    qp, kp, vp, maskp, block_q, l_p, lq_p, d_p = _pad_inputs(
+        q, k, v, key_mask, block_q
+    )
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, lq_p - l), (0, d_p - d)))
+
+    grid = (b, h, lq_p // block_q)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_kernel, scale=scale, block_q=block_q, l_total=l,
+            dec_len=dec_len, rate=rate,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
+            pl.BlockSpec((1, 1, block_q, d_p), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, l_p, d_p), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, l_p, d_p), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, l_p), lambda bi, hi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, d_p), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d_p), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            # dk/dv: resident accumulator blocks, constant index over qi
+            pl.BlockSpec((1, 1, l_p, d_p), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, l_p, d_p), lambda bi, hi, qi: (bi, hi, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, lq_p, d_p), q.dtype),
+            jax.ShapeDtypeStruct((b, h, l_p, d_p), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, l_p, d_p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * lq_p * l_p * d_p,
+            bytes_accessed=(
+                b * h * (4 * lq_p * d_p + 6 * l_p * d_p) * q.dtype.itemsize
+            ),
+            transcendentals=b * h * lq_p * l_p,
+        ),
+        interpret=interpret,
+    )(seed, qp, kp, vp, maskp, gp)
+    return (
+        dq[:, :, :l, :d],
+        dk[:, :, :l, :d].astype(k.dtype),
+        dv[:, :, :l, :d].astype(v.dtype),
+    )
 
 
 # ---------------------------------------------------------------------------

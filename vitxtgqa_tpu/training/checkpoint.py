@@ -50,12 +50,26 @@ class Checkpoint:
       ckpt/*/meta.json          config + git + best-iteration metadata
     """
 
-    def __init__(self, save_dir: str, config: Any = None, repo_dir: Optional[str] = None):
+    def __init__(self, save_dir: str, config: Any = None,
+                 repo_dir: Optional[str] = None, async_save: bool = True):
+        """async_save: snapshots write in a background thread (orbax
+        AsyncCheckpointer) so the train loop never blocks on serialisation;
+        `wait()` fences (called automatically before reusing a path and at
+        finalize).  Config: training_parameters.tpu.async_checkpoint."""
         self.root = os.path.join(save_dir, "ckpt")
         os.makedirs(os.path.join(self.root, "models"), exist_ok=True)
         self.config = config
         self.repo_dir = repo_dir
-        self.ckptr = ocp.PyTreeCheckpointer()
+        self.async_save = async_save
+        if async_save:
+            self.ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        else:
+            self.ckptr = ocp.PyTreeCheckpointer()
+
+    def wait(self):
+        """Block until any in-flight async save has committed."""
+        if self.async_save:
+            self.ckptr.wait_until_finished()
 
     # -- paths -------------------------------------------------------------
     def _model_path(self, iteration: int) -> str:
@@ -83,11 +97,14 @@ class Checkpoint:
                 meta["config"] = self.config.to_dict()
             except Exception:
                 pass
-        with open(os.path.join(path, "meta.json"), "w") as f:
+        # sibling file, not inside the snapshot dir: async orbax creates the
+        # directory only when the background write commits
+        with open(path.rstrip("/") + ".meta.json", "w") as f:
             json.dump(meta, f, indent=1, default=str)
 
     def _save_tree(self, path: str, state: Dict[str, Any]):
         path = os.path.abspath(path)
+        self.wait()  # fence before mutating a path a previous save may hold
         if os.path.exists(path):
             shutil.rmtree(path)
         self.ckptr.save(path, state)
@@ -107,24 +124,44 @@ class Checkpoint:
     def finalize(self, state: Dict[str, Any], iteration: int):
         self._save_tree(self.final_path, state)
         self._write_meta(self.final_path, iteration, iteration, None)
+        self.wait()
 
     # -- restore -----------------------------------------------------------
     def load(self, path: Optional[str] = None,
-             template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+             template: Optional[Dict[str, Any]] = None,
+             shardings: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
         """Load a checkpoint dir (defaults to best/); `template` restores
-        exact array dtypes/structs."""
+        exact array dtypes/structs.
+
+        `shardings` (a pytree of jax.sharding.Sharding matching `template`,
+        e.g. from parallel.mesh.param_shardings) makes orbax place each
+        array's shards directly on its mesh devices — every host reads only
+        its own slice, the multi-host/multi-chip restore path."""
         path = os.path.abspath(path or self.best_path)
+        self.wait()
         if template is not None:
-            restore_args = jax.tree_util.tree_map(
-                lambda x: ocp.ArrayRestoreArgs(dtype=getattr(x, "dtype", None)),
-                template,
-            )
+            if shardings is not None:
+                restore_args = jax.tree_util.tree_map(
+                    lambda x, s: ocp.ArrayRestoreArgs(
+                        dtype=getattr(x, "dtype", None), sharding=s,
+                    ),
+                    template, shardings,
+                )
+            else:
+                restore_args = jax.tree_util.tree_map(
+                    lambda x: ocp.ArrayRestoreArgs(
+                        dtype=getattr(x, "dtype", None)
+                    ),
+                    template,
+                )
             return self.ckptr.restore(path, item=template, restore_args=restore_args)
         return self.ckptr.restore(path)
 
     def load_meta(self, path: Optional[str] = None) -> Dict[str, Any]:
-        path = path or self.best_path
-        with open(os.path.join(path, "meta.json")) as f:
+        path = (path or self.best_path).rstrip("/")
+        sibling = path + ".meta.json"
+        legacy = os.path.join(path, "meta.json")
+        with open(sibling if os.path.exists(sibling) else legacy) as f:
             return json.load(f)
 
     def latest_iteration(self) -> Optional[int]:
@@ -132,6 +169,6 @@ class Checkpoint:
         its = [
             int(d.split("_")[1])
             for d in os.listdir(mdir)
-            if d.startswith("model_")
+            if d.startswith("model_") and not d.endswith(".meta.json")
         ]
         return max(its) if its else None

@@ -119,7 +119,18 @@ class BaseTrainer:
 
         self.datasets: Dict[str, Any] = {}
         self.loaders: Dict[str, DataLoader] = {}
-        batch_size = int(tp.batch_size)
+        # multi-host: each process loads only its shard; the global batch
+        # splits across hosts like the reference's per-rank batch
+        # (reference: general.py:233-246, samplers.py:10-66)
+        n_proc = jax.process_count()
+        rank = jax.process_index()
+        global_batch = int(tp.batch_size)
+        if global_batch % max(n_proc, 1) != 0:
+            raise ValueError(
+                f"batch_size {global_batch} not divisible by "
+                f"{n_proc} host processes"
+            )
+        batch_size = global_batch // max(n_proc, 1)
         workers = int(getattr(tp, "num_workers", 0) or 0)
         for split in sorted(splits):
             try:
@@ -133,6 +144,7 @@ class BaseTrainer:
                 seed=self.seed, drop_last=(split == "train"),
                 pad_last=(split != "train"),
                 num_workers=min(workers, 8),
+                rank=rank, world_size=n_proc,
             )
         if not self.datasets:
             raise RuntimeError(
@@ -314,7 +326,13 @@ class BaseTrainer:
 
     def _load_extras(self, save_dir: str):
         tp = self.tp
-        self.checkpoint = Checkpoint(save_dir, self.config)
+        tpu_cfg = getattr(tp, "tpu", None)
+        async_ckpt = bool(
+            getattr(tpu_cfg, "async_checkpoint", True)
+        ) if tpu_cfg is not None else True
+        self.checkpoint = Checkpoint(
+            save_dir, self.config, async_save=async_ckpt
+        )
         self.meter = Meter()
         self.early_stopping = EarlyStopping(
             monitored_metric=getattr(tp, "monitored_metric", "total_loss"),
