@@ -29,7 +29,11 @@ class GatedTanh(nn.Module):
 
 
 class ReLUWithWeightNormFC(nn.Module):
-    """Weight-normalised linear + ReLU (reference: layers.py:78-88)."""
+    """Weight-normalised linear + ReLU (reference: layers.py:78-88).
+
+    torch's weight_norm(dim=None): a single scalar g with the whole-matrix
+    Frobenius norm, w = g * v / ||v||_F.
+    """
 
     out_dim: int
 
@@ -38,9 +42,13 @@ class ReLUWithWeightNormFC(nn.Module):
         v = self.param(
             "v", nn.initializers.lecun_normal(), (x.shape[-1], self.out_dim)
         )
-        g = self.param("g", nn.initializers.ones, (self.out_dim,))
+        g = self.param(
+            "g",
+            lambda key, shape: jnp.ones(shape),
+            (),
+        )
         b = self.param("b", nn.initializers.zeros, (self.out_dim,))
-        w = v / jnp.maximum(jnp.linalg.norm(v, axis=0, keepdims=True), 1e-12) * g
+        w = v / jnp.maximum(jnp.linalg.norm(v), 1e-12) * g
         return nn.relu(x @ w + b)
 
 
@@ -108,19 +116,28 @@ class ClassifierLayer(nn.Module):
 
 
 class NonLinearElementMultiply(nn.Module):
-    """Gated-tanh projections multiplied elementwise
+    """ReLU-weight-norm projections multiplied elementwise, with optional
+    context stream concatenated on the location axis
     (reference: layers.py:288-320)."""
 
     hidden_dim: int
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, image_feat, question_embedding, deterministic: bool = True):
-        i = GatedTanh(self.hidden_dim, name="fa_image")(image_feat)
-        q = GatedTanh(self.hidden_dim, name="fa_txt")(question_embedding)
+    def __call__(self, image_feat, question_embedding, context_embedding=None,
+                 deterministic: bool = True):
+        i = ReLUWithWeightNormFC(self.hidden_dim, name="fa_image")(image_feat)
+        q = ReLUWithWeightNormFC(self.hidden_dim, name="fa_txt")(
+            question_embedding
+        )
         if image_feat.ndim == 3 and question_embedding.ndim == 2:
             q = q[:, None, :]
         joint = i * q
+        if context_embedding is not None:
+            c = ReLUWithWeightNormFC(self.hidden_dim, name="fa_context")(
+                context_embedding
+            )
+            joint = jnp.concatenate([joint, c * q], axis=1)
         return nn.Dropout(self.dropout)(joint, deterministic=deterministic)
 
 
@@ -169,7 +186,7 @@ class ModalCombineLayer(nn.Module):
     def __call__(self, image_feat, question_embedding, deterministic: bool = True):
         if self.combine_type == "non_linear_element_multiply":
             return NonLinearElementMultiply(self.hidden_dim, name="module")(
-                image_feat, question_embedding, deterministic
+                image_feat, question_embedding, deterministic=deterministic
             )
         if self.combine_type == "MFH":
             return MFH(self.hidden_dim, name="module")(
