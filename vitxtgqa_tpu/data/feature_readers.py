@@ -61,6 +61,28 @@ class PaddedFeatureReader:
         self.cache.put(item_id, result)
         return result
 
+    def read_batch(self, item_ids, feat_dim: int):
+        """Threaded batch read via the native _featio extension: one call
+        for the whole batch -> ([n, max_loc, feat_dim] f32, counts).  Falls
+        back to sequential `read` when the extension is unavailable."""
+        from vitxtgqa_tpu.native import featio
+
+        paths = [os.path.join(self.base_dir, f"{i}.npy") for i in item_ids]
+        native = featio.read_padded_batch(paths, self.max_loc, feat_dim)
+        if native is not None:
+            block, counts = native
+            if all(c >= 0 for c in counts):
+                return block, list(counts)
+        outs, counts = [], []
+        for item_id in item_ids:
+            feat, n = self.read(item_id)
+            out = np.zeros((self.max_loc, feat_dim), np.float32)
+            cols = min(feat.shape[-1], feat_dim)
+            out[:, :cols] = feat[:, :cols]
+            outs.append(out)
+            counts.append(n)
+        return np.stack(outs), counts
+
 
 class VideoFeatureReader:
     """<dir>/<video>/<frame>.npy [1, D] per-frame features with an LRU of
@@ -81,10 +103,27 @@ class VideoFeatureReader:
         if cached is not None:
             return cached
         vdir = os.path.join(self.base_dir, video_id)
-        feats = {}
-        for path in glob.glob(os.path.join(vdir, "*.npy")):
-            fid = int(os.path.splitext(os.path.basename(path))[0])
-            feats[fid] = np.load(path, allow_pickle=True).astype(np.float32)
+        paths = glob.glob(os.path.join(vdir, "*.npy"))
+        fids = [int(os.path.splitext(os.path.basename(p))[0]) for p in paths]
+        feats: Dict[int, np.ndarray] = {}
+
+        # native threaded reader (C++ _featio): one call for the whole video
+        # instead of len(paths) sequential np.loads
+        from vitxtgqa_tpu.native import featio
+
+        native = featio.read_rows(paths, self.feat_dim) if paths else None
+        if native is not None:
+            block, counts = native
+            for i, fid in enumerate(fids):
+                if counts[i] >= 0:
+                    feats[fid] = block[i].copy()
+                else:  # unsupported layout: python fallback
+                    feats[fid] = np.load(
+                        paths[i], allow_pickle=True
+                    ).astype(np.float32)
+        else:
+            for fid, path in zip(fids, paths):
+                feats[fid] = np.load(path, allow_pickle=True).astype(np.float32)
         self.cache.put(video_id, feats)
         return feats
 

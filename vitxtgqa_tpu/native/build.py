@@ -18,10 +18,9 @@ def _ext_suffix() -> str:
     return sysconfig.get_config_var("EXT_SUFFIX") or ".so"
 
 
-def build_cphoc(force: bool = False) -> str:
-    """Compile _cphoc if needed; returns the path to the shared object."""
-    src = os.path.join(_THIS_DIR, "cphoc.cpp")
-    out = os.path.join(_THIS_DIR, "_cphoc" + _ext_suffix())
+def _build(stem: str, force: bool = False) -> str:
+    src = os.path.join(_THIS_DIR, f"{stem}.cpp")
+    out = os.path.join(_THIS_DIR, f"_{stem}" + _ext_suffix())
     if not force and os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return out
     include = sysconfig.get_paths()["include"]
@@ -33,5 +32,16 @@ def build_cphoc(force: bool = False) -> str:
     return out
 
 
+def build_cphoc(force: bool = False) -> str:
+    """Compile _cphoc if needed; returns the path to the shared object."""
+    return _build("cphoc", force)
+
+
+def build_featio(force: bool = False) -> str:
+    """Compile _featio (threaded npy reader) if needed."""
+    return _build("featio", force)
+
+
 if __name__ == "__main__":
     print(build_cphoc(force=True))
+    print(build_featio(force=True))
