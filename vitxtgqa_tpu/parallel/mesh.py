@@ -24,21 +24,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def build_mesh(
     data: int = -1,
     model: int = 1,
+    sp: int = 1,
     devices: Optional[Sequence[Any]] = None,
     batch_size: Optional[int] = None,
 ) -> Mesh:
-    """Build a (data, model) mesh.  When `batch_size` is given, the data
-    axis shrinks to the largest divisor of the batch size (a mesh may use a
-    subset of devices; better some idle chips than a shard error)."""
+    """Build a (data, model[, sp]) mesh.  When `batch_size` is given, the
+    data axis shrinks to the largest divisor of the batch size (a mesh may
+    use a subset of devices; better some idle chips than a shard error).
+    An `sp` axis > 1 adds sequence parallelism (consumed by
+    ops.attention.set_sequence_parallel)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % model == 0, (n, model)
-        data = n // model
+        assert n % (model * sp) == 0, (n, model, sp)
+        data = n // (model * sp)
     if batch_size is not None:
         while data > 1 and batch_size % data != 0:
             data -= 1
-    assert data * model <= n, f"mesh {data}x{model} > {n} devices"
+    assert data * model * sp <= n, f"mesh {data}x{model}x{sp} > {n} devices"
+    if sp > 1:
+        arr = np.array(devices[: data * model * sp]).reshape(data, model, sp)
+        return Mesh(arr, ("data", "model", "sp"))
     arr = np.array(devices[: data * model]).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 

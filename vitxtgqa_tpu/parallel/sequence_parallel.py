@@ -103,6 +103,7 @@ def sp_attention(
             mesh=mesh,
             in_specs=(spec, spec, spec, P(None, axis)),
             out_specs=spec,
+            axis_names={axis},  # other mesh axes (data/model) stay auto
         )
         return mapped(q, k, v, key_mask.astype(jnp.float32))
 
@@ -126,5 +127,6 @@ def sp_attention(
         mesh=mesh,
         in_specs=(spec, spec, spec, bias_spec),
         out_specs=spec,
+        axis_names={axis},  # other mesh axes (data/model) stay auto
     )
     return mapped(q, k, v, bias)

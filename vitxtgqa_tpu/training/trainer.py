@@ -240,9 +240,18 @@ class BaseTrainer:
         mesh_cfg = getattr(tpu_cfg, "mesh", None) if tpu_cfg else None
         data_ax = int(getattr(mesh_cfg, "data", -1)) if mesh_cfg else -1
         model_ax = int(getattr(mesh_cfg, "model", 1)) if mesh_cfg else 1
+        sp_ax = int(getattr(mesh_cfg, "sp", 1)) if mesh_cfg else 1
         self.mesh = build_mesh(
-            data=data_ax, model=model_ax, batch_size=int(tp.batch_size)
+            data=data_ax, model=model_ax, sp=sp_ax,
+            batch_size=int(tp.batch_size),
         )
+        if sp_ax > 1:
+            from vitxtgqa_tpu.ops.attention import set_sequence_parallel
+
+            set_sequence_parallel(self.mesh, "sp")
+            self.logger.write(
+                f"sequence parallelism over {sp_ax} shards enabled"
+            )
         self.logger.write(f"mesh: {dict(self.mesh.shape)}")
 
         example = next(iter(self.loaders[self.primary_split]))
