@@ -67,7 +67,9 @@ class JointQAModel(nn.Module):
         )
         n_ocr = ocr.shape[1]
         ocr_out = enc_h[:, -n_ocr:]
-        dec_cache = self.mmt.init_dec_cache(bN, dec_len)
+        # unified cache: encoder K/V preloaded, decoder slots appended —
+        # avoids the per-layer-per-step cache concatenation
+        dec_cache = self.mmt.init_dec_cache(bN, dec_len, enc_kvs=enc_kvs)
         ans_table = self.classifier.table()
         lo = argmax_variant * b
 
