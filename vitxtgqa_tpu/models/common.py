@@ -281,10 +281,17 @@ class PrevPredEmbeddings(nn.Module):
         [B, S] (S may be 1 for cached decode with position_offset=t)."""
         b, s = prev_inds.shape
         ans_num = ans_emb.shape[0]
-        ans = self.ans_ln(ans_emb)[None].astype(ocr_emb.dtype)
-        ocr = self.ocr_ln(ocr_emb)
-        table = jnp.concatenate([jnp.broadcast_to(ans, (b,) + ans.shape[1:]), ocr], axis=1)
-        raw = jnp.take_along_axis(table, prev_inds[..., None], axis=1)
+        ans = self.ans_ln(ans_emb).astype(ocr_emb.dtype)  # [V, D]
+        ocr = self.ocr_ln(ocr_emb)  # [B, N, D]
+        # two clamped gathers + select instead of materialising the
+        # concatenated [B, V+N, D] address space (1.8GB at production dims,
+        # rebuilt inside every decode step before this change)
+        is_ocr = prev_inds >= ans_num
+        ans_idx = jnp.clip(prev_inds, 0, ans_num - 1)
+        ocr_idx = jnp.clip(prev_inds - ans_num, 0, ocr.shape[1] - 1)
+        from_ans = jnp.take(ans, ans_idx, axis=0)  # [B, S, D]
+        from_ocr = jnp.take_along_axis(ocr, ocr_idx[..., None], axis=1)
+        raw = jnp.where(is_ocr[..., None], from_ocr, from_ans)
 
         positions = jnp.arange(s)[None, :] + position_offset
         token_type = (prev_inds >= ans_num).astype(jnp.int32)
