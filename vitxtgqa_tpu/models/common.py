@@ -161,29 +161,30 @@ class TransformerEncoder(nn.Module):
         return x, kvs
 
     def decode_step(self, x_t, enc_kvs, dec_cache, step, bias_t,
-                    deterministic: bool = True):
+                    deterministic: bool = True, write_offset=None):
         """One cached decode step.
 
-        x_t: [B, 1, D]; enc_kvs: per-layer (k, v) over encoder tokens
-        (UNUSED when dec_cache is unified — kept for call compatibility);
-        dec_cache: per-layer (k, v) [B, H, Lenc+dec, Dh] *unified* cache
-        holding the encoder keys in the leading Lenc slots (see
-        init_dec_cache); step: scalar int32 decoder position.
+        x_t: [B, 1, D]; dec_cache: per-layer (k, v) [B, H, Lcache, Dh]
+        *unified* cache holding the encoder keys in the leading slots;
+        step: scalar int32 decoder position; this step's K/V are written
+        at write_offset + step (write_offset defaults to the encoder length
+        taken from enc_kvs, which is otherwise unused).
         Returns (y_t, updated dec_cache).
 
         The unified layout avoids re-concatenating the full encoder cache
         every layer x step — the single dominant HBM cost of the decode
         scan (profiled at ~2.5GB of concat copies per step at batch 192).
         """
+        if write_offset is None:
+            write_offset = enc_kvs[0][0].shape[2] if enc_kvs is not None else 0
         new_cache = []
-        l_enc = enc_kvs[0][0].shape[2] if enc_kvs is not None else 0
         for layer, (ck, cv) in zip(self.layers, dec_cache):
             k_t, v_t = layer.kv(x_t)  # [B, H, 1, Dh]
             ck = jax.lax.dynamic_update_slice_in_dim(
-                ck, k_t.astype(ck.dtype), l_enc + step, axis=2
+                ck, k_t.astype(ck.dtype), write_offset + step, axis=2
             )
             cv = jax.lax.dynamic_update_slice_in_dim(
-                cv, v_t.astype(cv.dtype), l_enc + step, axis=2
+                cv, v_t.astype(cv.dtype), write_offset + step, axis=2
             )
             new_cache.append((ck, cv))
             x_t = layer.decode(x_t, ck, cv, bias_t, deterministic)

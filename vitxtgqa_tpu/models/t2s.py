@@ -141,11 +141,17 @@ class T2S(JointQAModel):
         (reference: t2s.py:384-432)."""
         x = jnp.concatenate([txt_emb, obj_in, ocr_in], axis=1)
         mask = jnp.concatenate([txt_mask, obj_mask, ocr_mask], axis=1)
+        # lane-align the row count so the flash kernel pads nothing (padded
+        # rows are masked; their outputs are sliced away below)
+        pad = (-x.shape[1]) % 128
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            mask = jnp.pad(mask, ((0, 0), (0, pad)))
         h = self.qtv(x, MaskSpec(key_mask=mask), deterministic)
         lt, lo = txt_emb.shape[1], obj_in.shape[1]
         txt_emb = txt_emb + jnp.tanh(h[:, :lt])
         obj_in = obj_in + jnp.tanh(h[:, lt : lt + lo])
-        ocr_in = ocr_in + jnp.tanh(h[:, lt + lo :])
+        ocr_in = ocr_in + jnp.tanh(h[:, lt + lo : lt + lo + ocr_in.shape[1]])
         return txt_emb, obj_in, ocr_in
 
     # ---- forward ----------------------------------------------------------
