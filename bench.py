@@ -62,6 +62,10 @@ def _run_once(batch_size: int):
         from vitxtgqa_tpu.ops.attention import set_use_pallas
 
         set_use_pallas(True)
+    # A/B knob for the decode-step kernel alone (rides the pallas gate)
+    from vitxtgqa_tpu.ops.attention import set_decode_pallas
+
+    set_decode_pallas(os.environ.get("BENCH_DECODE_KERNEL", "1") == "1")
 
     cfg = build_config(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -272,3 +272,81 @@ def test_mha_accepts_mask_spec():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# decode-step kernel
+# ---------------------------------------------------------------------------
+
+
+def _decode_case(b=3, h=4, l_enc=96, dec_len=12, d=32, seed=3,
+                 dtype=jnp.float32):
+    """Unified-cache decode setup: cache [B,H,Lenc+dec,D], encoder-valid
+    key_mask, a random fill of the decoder slots already written."""
+    from vitxtgqa_tpu.ops.masks import DecodeStepSpec
+
+    l = l_enc + dec_len
+    r = jax.random.split(jax.random.key(seed), 3)
+    q = jax.random.normal(r[0], (b, h, 1, d), dtype)
+    k = jax.random.normal(r[1], (b, h, l, d), dtype)
+    v = jax.random.normal(r[2], (b, h, l, d), dtype)
+    lengths = jnp.asarray([l_enc, l_enc - 17, l_enc - 40])[:, None]
+    enc_mask = (jnp.arange(l_enc)[None, :] < lengths).astype(jnp.float32)
+    key_mask = jnp.pad(enc_mask, ((0, 0), (0, dec_len)))
+    spec = lambda t: DecodeStepSpec(
+        key_mask=key_mask, step=jnp.int32(t), write_offset=l_enc
+    )
+    return q, k, v, key_mask, spec
+
+
+def test_decode_spec_bias_matches_decode_step_bias():
+    from vitxtgqa_tpu.ops.masks import decode_step_bias
+
+    _, _, _, key_mask, spec = _decode_case()
+    l_enc, dec_len = 96, 12
+    enc_mask = key_mask[:, :l_enc]
+    for t in (0, 5, 11):
+        np.testing.assert_array_equal(
+            np.asarray(spec(t).to_bias()),
+            np.asarray(decode_step_bias(enc_mask, jnp.int32(t), dec_len)),
+        )
+
+
+@pytest.mark.parametrize("t", [0, 4, 11])
+def test_decode_attention_matches_reference(t):
+    from vitxtgqa_tpu.ops.pallas_attention import decode_attention
+
+    q, k, v, key_mask, spec = _decode_case()
+    got = decode_attention(
+        q, k, v, key_mask, jnp.int32(t), write_offset=96, interpret=True
+    )
+    want = mha_reference(q, k, v, spec(t).to_bias())
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5
+    )
+
+
+def test_decode_attention_bf16_lane_unaligned():
+    # L = 108 forces in-call lane padding; bf16 exercises the serving dtype
+    from vitxtgqa_tpu.ops.pallas_attention import decode_attention
+
+    q, k, v, key_mask, spec = _decode_case(dtype=jnp.bfloat16)
+    got = decode_attention(
+        q, k, v, key_mask, jnp.int32(7), write_offset=96, interpret=True
+    )
+    want = mha_reference(q, k, v, spec(7).to_bias())
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2
+    )
+
+
+def test_mha_routes_decode_spec_to_bias_on_cpu():
+    """On non-TPU backends the DecodeStepSpec must fall through to the XLA
+    path with identical semantics."""
+    from vitxtgqa_tpu.ops.attention import mha
+
+    q, k, v, key_mask, spec = _decode_case()
+    got = mha(q, k, v, spec(6))
+    want = mha_reference(q, k, v, spec(6).to_bias())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -19,8 +19,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vitxtgqa_tpu.ops.masks import (
+    DecodeStepSpec,
     MaskSpec,
-    decode_step_bias,
     joint_mask_spec,
 )
 
@@ -85,7 +85,6 @@ class JointQAModel(nn.Module):
         if pad or dec_len:
             x = jnp.pad(x, ((0, 0), (0, pad + dec_len), (0, 0)))
         key_mask_full = jnp.pad(enc_mask, ((0, 0), (0, pad + dec_len)))
-        enc_mask_p = jnp.pad(enc_mask, ((0, 0), (0, pad)))
         write_offset = l0 + pad
 
         enc_h, enc_kvs = self.mmt.encode_with_cache(
@@ -103,7 +102,12 @@ class JointQAModel(nn.Module):
                 ans_table, ocr, prev_tok[:, None],
                 deterministic=True, position_offset=t,
             )
-            bias_t = decode_step_bias(enc_mask_p, t, dec_len)
+            # compact spec: the XLA path materialises the same bias as the
+            # old decode_step_bias(enc_mask_p, t, dec_len); the TPU path
+            # feeds the Pallas decode kernel directly (no [B,1,1,L] tensor)
+            bias_t = DecodeStepSpec(
+                key_mask=key_mask_full, step=t, write_offset=write_offset
+            )
             y_t, cache = self.mmt.decode_step(
                 dec_emb_t, None, cache, t, bias_t, deterministic=True,
                 write_offset=write_offset,

@@ -111,7 +111,9 @@ class TransformerLayer(nn.Module):
         """x_t: [B, 1, D] query token; k_all/v_all: [B, H, L, Dh] cached keys."""
         h = self.cfg.num_attention_heads
         q = split_heads(self.query(x_t), h)
-        ctx = merge_heads(mha(q, k_all, v_all, bias_t))
+        ctx = merge_heads(
+            mha(q, k_all, v_all, bias_t, use_pallas=self.cfg.use_pallas)
+        )
         return self._finish(x_t, ctx, deterministic)
 
 

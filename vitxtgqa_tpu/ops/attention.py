@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 _PALLAS_MIN_KV = 512  # below this the fused kernel gains nothing
 _GLOBAL_USE_PALLAS = False
+_GLOBAL_DECODE_PALLAS = True  # decode-step kernel rides the use_pallas gate
 _SP = (None, "sp")  # (mesh, axis) for sequence-parallel attention
 
 
@@ -26,6 +27,13 @@ def set_use_pallas(enabled: bool) -> None:
     """Process-wide switch (config: training_parameters.tpu.use_pallas)."""
     global _GLOBAL_USE_PALLAS
     _GLOBAL_USE_PALLAS = bool(enabled)
+
+
+def set_decode_pallas(enabled: bool) -> None:
+    """A/B switch for the decode-step kernel alone (BENCH_DECODE_KERNEL);
+    only takes effect when the pallas path is on at all."""
+    global _GLOBAL_DECODE_PALLAS
+    _GLOBAL_DECODE_PALLAS = bool(enabled)
 
 
 def _on_tpu() -> bool:
@@ -56,7 +64,22 @@ def mha(
     use_pallas: bool = False,
 ) -> jax.Array:
     """Scaled dot-product attention; returns [B, H, Lq, Dh]."""
-    from vitxtgqa_tpu.ops.masks import MaskSpec
+    from vitxtgqa_tpu.ops.masks import DecodeStepSpec, MaskSpec
+
+    if isinstance(bias, DecodeStepSpec):
+        if (
+            (use_pallas or _GLOBAL_USE_PALLAS)
+            and _GLOBAL_DECODE_PALLAS
+            and q.shape[2] == 1
+            and k.shape[2] >= _PALLAS_MIN_KV
+            and _on_tpu()
+        ):
+            from vitxtgqa_tpu.ops.pallas_attention import decode_attention
+
+            return decode_attention(
+                q, k, v, bias.key_mask, bias.step, bias.write_offset
+            )
+        bias = bias.to_bias()
 
     if (
         _SP[0] is not None

@@ -102,3 +102,33 @@ def decode_step_bias(enc_mask, step, dec_len: int):
         [enc_mask, jnp.broadcast_to(dec_ok, (b, dec_len))], axis=1
     )
     return (1.0 - key_mask)[:, None, None, :] * NEG_INF
+
+
+@struct.dataclass
+class DecodeStepSpec:
+    """Compact mask description for one cached decode step.
+
+    key_mask: [B, Lcache] — 1 where the cache slot holds a valid *encoder*
+        key (decoder slots and padding are 0; same vector for every step).
+    step: scalar int32 decoder position (traced inside the decode scan).
+    write_offset: static index of decoder slot 0 inside the unified cache.
+
+    The single query row attends to valid encoder keys and to decoder cache
+    slots `write_offset .. write_offset+step`.  ``to_bias()`` materialises
+    the additive bias (identical to ``decode_step_bias`` on the equivalent
+    layout) for the XLA path; the Pallas decode kernel
+    (ops/pallas_attention.decode_attention) consumes the spec directly, so
+    no per-step [B, 1, 1, L] bias tensor is ever built in HBM.
+    """
+
+    key_mask: jax.Array
+    step: jax.Array
+    write_offset: int = struct.field(pytree_node=False, default=0)
+
+    def to_bias(self) -> jax.Array:
+        cols = jnp.arange(self.key_mask.shape[1])[None, :]
+        dec_ok = jnp.logical_and(
+            cols >= self.write_offset, cols <= self.write_offset + self.step
+        )
+        ok = jnp.logical_or(self.key_mask > 0, dec_ok)
+        return (1.0 - ok.astype(jnp.float32))[:, None, None, :] * NEG_INF

@@ -369,6 +369,103 @@ def _flash_bwd_impl(q, k, v, key_mask, seed, g, dec_len: int, block_q: int,
 
 
 # ---------------------------------------------------------------------------
+# decode-step kernel: q_len == 1 attention over the unified KV cache
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(step_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
+                   write_offset, num_heads):
+    """One batch row per grid step; all heads resident.
+
+    q [1, H, 1, D]; k/v [1, H, Lp, D] (the full cache for this row); mask
+    [1, 1, Lp] encoder-key validity; step scalar in SMEM.  Scores for all
+    heads stack into one [H, Lp] tile so the masked softmax vectorises over
+    the sublane (head) dim; K/V stream through VMEM exactly once.
+    """
+    step = step_ref[0]
+    key_ok = mask_ref[0, 0:1, :] > 0  # [1, Lp]
+    cols = jax.lax.broadcasted_iota(jnp.int32, key_ok.shape, 1)
+    dec_ok = jnp.logical_and(cols >= write_offset,
+                             cols <= write_offset + step)
+    allowed = jnp.logical_or(key_ok, dec_ok)  # [1, Lp]
+
+    q = q_ref[0, :, 0, :]  # [H, D]
+    scores = jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                q[h : h + 1], k_ref[0, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for h in range(num_heads)
+        ],
+        axis=0,
+    ) * scale  # [H, Lp] fp32
+    scores = jnp.where(allowed, scores, _NEG)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    w = jnp.exp(scores)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    for h in range(num_heads):
+        v_h = v_ref[0, h]  # [Lp, D]
+        o_ref[0, h] = jax.lax.dot_general(
+            w[h : h + 1].astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("write_offset", "interpret"))
+def decode_attention(q, k, v, key_mask, step, write_offset: int,
+                     interpret: bool = False):
+    """Single-query-token attention over the unified decode cache.
+
+    q [B, H, 1, D]; k/v [B, H, L, D]; key_mask [B, L] (1 = valid encoder
+    key; decoder and padding slots 0); step: scalar int32 decoder position;
+    write_offset: static index of decoder slot 0.  Semantics match
+    mha(q, k, v, DecodeStepSpec(key_mask, step, write_offset).to_bias()).
+
+    Eval-only (no VJP): the greedy decode scan never differentiates.
+    """
+    b, h, _, d = q.shape
+    l = k.shape[2]
+    scale = 1.0 / (d ** 0.5)
+    l_p = _round_up(l, _LANE)
+    if l_p != l:
+        pad = ((0, 0), (0, 0), (0, l_p - l), (0, 0))
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    maskp = jnp.pad(
+        key_mask.astype(jnp.float32), ((0, 0), (0, l_p - l))
+    )[:, None, :]
+    step_arr = jnp.asarray(step, jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_kernel, scale=scale, write_offset=write_offset,
+            num_heads=h,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # step [1]
+            pl.BlockSpec((1, h, 1, d), lambda bi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, h, l_p, d), lambda bi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, h, l_p, d), lambda bi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, 1, l_p), lambda bi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, 1, d), lambda bi: (bi, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, 1, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * l_p * d,
+            bytes_accessed=b * h * 2 * l_p * d * k.dtype.itemsize,
+            transcendentals=b * h * l_p,
+        ),
+        interpret=interpret,
+    )(step_arr, q, k, v, maskp)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # legacy bias-tensor kernel (kept for comparison)
 # ---------------------------------------------------------------------------
 
