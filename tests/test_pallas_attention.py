@@ -281,15 +281,16 @@ def test_mha_accepts_mask_spec():
 
 def _decode_case(b=3, h=4, l_enc=96, dec_len=12, d=32, seed=3,
                  dtype=jnp.float32):
-    """Unified-cache decode setup: cache [B,H,Lenc+dec,D], encoder-valid
-    key_mask, a random fill of the decoder slots already written."""
+    """Unified-cache decode setup in merged-head layout: cache
+    [B, Lenc+dec, H*D], encoder-valid key_mask, a random fill of the
+    decoder slots already written."""
     from vitxtgqa_tpu.ops.masks import DecodeStepSpec
 
     l = l_enc + dec_len
     r = jax.random.split(jax.random.key(seed), 3)
-    q = jax.random.normal(r[0], (b, h, 1, d), dtype)
-    k = jax.random.normal(r[1], (b, h, l, d), dtype)
-    v = jax.random.normal(r[2], (b, h, l, d), dtype)
+    q = jax.random.normal(r[0], (b, 1, h * d), dtype)
+    k = jax.random.normal(r[1], (b, l, h * d), dtype)
+    v = jax.random.normal(r[2], (b, l, h * d), dtype)
     lengths = jnp.asarray([l_enc, l_enc - 17, l_enc - 40])[:, None]
     enc_mask = (jnp.arange(l_enc)[None, :] < lengths).astype(jnp.float32)
     key_mask = jnp.pad(enc_mask, ((0, 0), (0, dec_len)))
@@ -297,6 +298,17 @@ def _decode_case(b=3, h=4, l_enc=96, dec_len=12, d=32, seed=3,
         key_mask=key_mask, step=jnp.int32(t), write_offset=l_enc
     )
     return q, k, v, key_mask, spec
+
+
+def _decode_reference(q, k, v, num_heads, bias):
+    from vitxtgqa_tpu.ops.attention import merge_heads, split_heads
+
+    return merge_heads(
+        mha_reference(
+            split_heads(q, num_heads), split_heads(k, num_heads),
+            split_heads(v, num_heads), bias,
+        )
+    )
 
 
 def test_decode_spec_bias_matches_decode_step_bias():
@@ -318,9 +330,10 @@ def test_decode_attention_matches_reference(t):
 
     q, k, v, key_mask, spec = _decode_case()
     got = decode_attention(
-        q, k, v, key_mask, jnp.int32(t), write_offset=96, interpret=True
+        q, k, v, key_mask, jnp.int32(t), write_offset=96, num_heads=4,
+        interpret=True,
     )
-    want = mha_reference(q, k, v, spec(t).to_bias())
+    want = _decode_reference(q, k, v, 4, spec(t).to_bias())
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-5
     )
@@ -332,21 +345,22 @@ def test_decode_attention_bf16_lane_unaligned():
 
     q, k, v, key_mask, spec = _decode_case(dtype=jnp.bfloat16)
     got = decode_attention(
-        q, k, v, key_mask, jnp.int32(7), write_offset=96, interpret=True
+        q, k, v, key_mask, jnp.int32(7), write_offset=96, num_heads=4,
+        interpret=True,
     )
-    want = mha_reference(q, k, v, spec(7).to_bias())
+    want = _decode_reference(q, k, v, 4, spec(7).to_bias())
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2
     )
 
 
-def test_mha_routes_decode_spec_to_bias_on_cpu():
-    """On non-TPU backends the DecodeStepSpec must fall through to the XLA
-    path with identical semantics."""
-    from vitxtgqa_tpu.ops.attention import mha
+def test_decode_mha_falls_back_on_cpu():
+    """On non-TPU backends decode_mha must route the DecodeStepSpec through
+    the XLA path with identical semantics."""
+    from vitxtgqa_tpu.ops.attention import decode_mha
 
     q, k, v, key_mask, spec = _decode_case()
-    got = mha(q, k, v, spec(6))
-    want = mha_reference(q, k, v, spec(6).to_bias())
+    got = decode_mha(q, k, v, spec(6), num_heads=4)
+    want = _decode_reference(q, k, v, 4, spec(6).to_bias())
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -15,13 +15,18 @@ bert-base-uncased checkpoints (reference init: t2s.py:43-59).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vitxtgqa_tpu.ops.attention import merge_heads, mha, split_heads
+from vitxtgqa_tpu.ops.attention import (
+    decode_mha,
+    merge_heads,
+    mha,
+    split_heads,
+)
 from vitxtgqa_tpu.ops.masks import NEG_INF
 
 
@@ -83,10 +88,6 @@ class TransformerLayer(nn.Module):
         self.attn_drop = nn.Dropout(c.attention_probs_dropout_prob)
         self.hidden_drop = nn.Dropout(c.hidden_dropout_prob)
 
-    def kv(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        h = self.cfg.num_attention_heads
-        return split_heads(self.key(x), h), split_heads(self.value(x), h)
-
     def _finish(self, x_q, ctx, deterministic):
         attn = self.hidden_drop(self.attn_out(ctx), deterministic=deterministic)
         x = self.attn_ln(x_q + attn)
@@ -97,7 +98,8 @@ class TransformerLayer(nn.Module):
     def __call__(self, x, bias, deterministic: bool = True, return_kv: bool = False):
         h = self.cfg.num_attention_heads
         q = split_heads(self.query(x), h)
-        k, v = self.kv(x)
+        k_raw, v_raw = self.key(x), self.value(x)
+        k, v = split_heads(k_raw, h), split_heads(v_raw, h)
         rng = None if deterministic else self.make_rng("dropout")
         rate = 0.0 if deterministic else self.cfg.attention_probs_dropout_prob
         ctx = merge_heads(
@@ -105,14 +107,17 @@ class TransformerLayer(nn.Module):
                 use_pallas=self.cfg.use_pallas)
         )
         y = self._finish(x, ctx, deterministic)
-        return (y, (k, v)) if return_kv else y
+        # KV export stays in merged [B, L, H*D] layout: it IS the decode
+        # cache layout (no per-head minor dim -> no XLA layout-conversion
+        # copies around the Pallas decode kernel)
+        return (y, (k_raw, v_raw)) if return_kv else y
 
     def decode(self, x_t, k_all, v_all, bias_t, deterministic: bool = True):
-        """x_t: [B, 1, D] query token; k_all/v_all: [B, H, L, Dh] cached keys."""
-        h = self.cfg.num_attention_heads
-        q = split_heads(self.query(x_t), h)
-        ctx = merge_heads(
-            mha(q, k_all, v_all, bias_t, use_pallas=self.cfg.use_pallas)
+        """x_t: [B, 1, D] query token; k_all/v_all: [B, L, H*D] merged
+        cache; bias_t: masks.DecodeStepSpec (or an additive bias)."""
+        ctx = decode_mha(
+            self.query(x_t), k_all, v_all, bias_t,
+            self.cfg.num_attention_heads, use_pallas=self.cfg.use_pallas,
         )
         return self._finish(x_t, ctx, deterministic)
 
@@ -155,7 +160,8 @@ class TransformerEncoder(nn.Module):
 
     def encode_with_cache(self, x, bias, deterministic: bool = True):
         """Returns (final hidden, [(k, v)] per layer computed from each
-        layer's input) for later cached decoding."""
+        layer's input) for later cached decoding.  K/V are the raw merged
+        projections [B, L, H*D] — the decode-cache layout."""
         kvs = []
         for layer in self.layers:
             x, kv = layer(x, bias, deterministic, return_kv=True)
@@ -166,11 +172,11 @@ class TransformerEncoder(nn.Module):
                     deterministic: bool = True, write_offset=None):
         """One cached decode step.
 
-        x_t: [B, 1, D]; dec_cache: per-layer (k, v) [B, H, Lcache, Dh]
-        *unified* cache holding the encoder keys in the leading slots;
-        step: scalar int32 decoder position; this step's K/V are written
-        at write_offset + step (write_offset defaults to the encoder length
-        taken from enc_kvs, which is otherwise unused).
+        x_t: [B, 1, D]; dec_cache: per-layer (k, v) [B, Lcache, H*D]
+        *unified* merged-head cache holding the encoder keys in the leading
+        slots; step: scalar int32 decoder position; this step's K/V are
+        written at write_offset + step (write_offset defaults to the
+        encoder length taken from enc_kvs, which is otherwise unused).
         Returns (y_t, updated dec_cache).
 
         The unified layout avoids re-concatenating the full encoder cache
@@ -178,36 +184,36 @@ class TransformerEncoder(nn.Module):
         scan (profiled at ~2.5GB of concat copies per step at batch 192).
         """
         if write_offset is None:
-            write_offset = enc_kvs[0][0].shape[2] if enc_kvs is not None else 0
+            write_offset = enc_kvs[0][0].shape[1] if enc_kvs is not None else 0
         new_cache = []
         for layer, (ck, cv) in zip(self.layers, dec_cache):
-            k_t, v_t = layer.kv(x_t)  # [B, H, 1, Dh]
+            k_t = layer.key(x_t)  # [B, 1, H*D]
+            v_t = layer.value(x_t)
             ck = jax.lax.dynamic_update_slice_in_dim(
-                ck, k_t.astype(ck.dtype), write_offset + step, axis=2
+                ck, k_t.astype(ck.dtype), write_offset + step, axis=1
             )
             cv = jax.lax.dynamic_update_slice_in_dim(
-                cv, v_t.astype(cv.dtype), write_offset + step, axis=2
+                cv, v_t.astype(cv.dtype), write_offset + step, axis=1
             )
             new_cache.append((ck, cv))
             x_t = layer.decode(x_t, ck, cv, bias_t, deterministic)
         return x_t, new_cache
 
     def init_dec_cache(self, batch: int, dec_len: int, enc_kvs=None):
-        """Unified per-layer KV caches [B, H, Lenc+dec, Dh]: the encoder
-        keys (from encode_with_cache) occupy the leading slots, decoder
-        slots fill in as decoding progresses.  Invalid/padded slots are
-        masked by the decode-step bias, so zeros are safe placeholders.
+        """Unified per-layer merged KV caches [B, Lenc+dec, H*D]: the
+        encoder keys (from encode_with_cache) occupy the leading slots,
+        decoder slots fill in as decoding progresses.  Invalid/padded slots
+        are masked by the decode-step bias, so zeros are safe placeholders.
         Passing enc_kvs=None yields decoder-only caches (legacy layout —
         decode_step then expects enc_kvs=None too)."""
         c = self.cfg
-        dh = c.hidden_size // c.num_attention_heads
         if enc_kvs is None:
-            shape = (batch, c.num_attention_heads, dec_len, dh)
+            shape = (batch, dec_len, c.hidden_size)
             return [
                 (jnp.zeros(shape, c.dtype), jnp.zeros(shape, c.dtype))
                 for _ in range(c.num_hidden_layers)
             ]
-        pad = ((0, 0), (0, 0), (0, dec_len), (0, 0))
+        pad = ((0, 0), (0, dec_len), (0, 0))
         return [
             (jnp.pad(ek, pad), jnp.pad(ev, pad)) for ek, ev in enc_kvs
         ]

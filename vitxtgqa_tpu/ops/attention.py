@@ -54,6 +54,47 @@ def set_sequence_parallel(mesh, axis: str = "sp") -> None:
     _SP = (mesh, axis)
 
 
+def decode_mha(
+    q_raw: jax.Array,  # [B, 1, H*D] raw query projection (pre-split)
+    k_raw: jax.Array,  # [B, L, H*D] unified decode cache, heads merged
+    v_raw: jax.Array,  # [B, L, H*D]
+    spec,  # masks.DecodeStepSpec (or additive bias for the fallback)
+    num_heads: int,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """One cached decode step in merged-head layout; returns [B, 1, H*D].
+
+    The merged minor dim (H*D lanes) is what keeps the Pallas path
+    zero-copy: per-head [.., 64] operands forced XLA layout-conversion
+    temps the size of the whole cache (4.08GB at full-eval dims).  On
+    non-TPU backends (or with the kernel toggled off) the heads split on
+    the fly and run the XLA path with identical semantics.
+    """
+    from vitxtgqa_tpu.ops.masks import DecodeStepSpec
+
+    if (
+        isinstance(spec, DecodeStepSpec)
+        and (use_pallas or _GLOBAL_USE_PALLAS)
+        and _GLOBAL_DECODE_PALLAS
+        and k_raw.shape[1] >= _PALLAS_MIN_KV
+        and _on_tpu()
+    ):
+        from vitxtgqa_tpu.ops.pallas_attention import decode_attention
+
+        return decode_attention(
+            q_raw, k_raw, v_raw, spec.key_mask, spec.step,
+            spec.write_offset, num_heads,
+        )
+    bias = spec.to_bias() if isinstance(spec, DecodeStepSpec) else spec
+    ctx = mha(
+        split_heads(q_raw, num_heads),
+        split_heads(k_raw, num_heads),
+        split_heads(v_raw, num_heads),
+        bias,
+    )
+    return merge_heads(ctx)
+
+
 def mha(
     q: jax.Array,  # [B, H, Lq, Dh]
     k: jax.Array,  # [B, H, Lk, Dh]
@@ -67,18 +108,8 @@ def mha(
     from vitxtgqa_tpu.ops.masks import DecodeStepSpec, MaskSpec
 
     if isinstance(bias, DecodeStepSpec):
-        if (
-            (use_pallas or _GLOBAL_USE_PALLAS)
-            and _GLOBAL_DECODE_PALLAS
-            and q.shape[2] == 1
-            and k.shape[2] >= _PALLAS_MIN_KV
-            and _on_tpu()
-        ):
-            from vitxtgqa_tpu.ops.pallas_attention import decode_attention
-
-            return decode_attention(
-                q, k, v, bias.key_mask, bias.step, bias.write_offset
-            )
+        # split-head callers get the XLA semantics; the zero-copy Pallas
+        # decode path lives in decode_mha (merged-head layout)
         bias = bias.to_bias()
 
     if (

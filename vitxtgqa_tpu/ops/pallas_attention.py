@@ -374,13 +374,15 @@ def _flash_bwd_impl(q, k, v, key_mask, seed, g, dec_len: int, block_q: int,
 
 
 def _decode_kernel(step_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
-                   write_offset, num_heads):
-    """One batch row per grid step; all heads resident.
+                   write_offset, num_heads, head_dim):
+    """One batch row per grid step; all heads resident in merged layout.
 
-    q [1, H, 1, D]; k/v [1, H, Lp, D] (the full cache for this row); mask
-    [1, 1, Lp] encoder-key validity; step scalar in SMEM.  Scores for all
-    heads stack into one [H, Lp] tile so the masked softmax vectorises over
-    the sublane (head) dim; K/V stream through VMEM exactly once.
+    q [1, 1, H*D]; k/v [1, Lp, H*D] (the full cache row, heads merged in
+    the minor dim — 768 lanes, so HBM stores it unpadded and XLA hands it
+    to the kernel without a layout-conversion copy; the per-head [.., 64]
+    layout measured 4.08GB of temp copies at full-eval dims); mask
+    [1, 1, Lp]; step scalar in SMEM.  Per-head scores stack into one
+    [H, Lp] tile so the masked softmax vectorises over the sublane dim.
     """
     step = step_ref[0]
     key_ok = mask_ref[0, 0:1, :] > 0  # [1, Lp]
@@ -389,11 +391,15 @@ def _decode_kernel(step_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
                              cols <= write_offset + step)
     allowed = jnp.logical_or(key_ok, dec_ok)  # [1, Lp]
 
-    q = q_ref[0, :, 0, :]  # [H, D]
+    q = q_ref[0]  # [1, H*D]
+    k = k_ref[0]  # [Lp, H*D]
+    v = v_ref[0]
+    hd = head_dim
     scores = jnp.concatenate(
         [
             jax.lax.dot_general(
-                q[h : h + 1], k_ref[0, h], (((1,), (1,)), ((), ())),
+                q[:, h * hd : (h + 1) * hd], k[:, h * hd : (h + 1) * hd],
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             for h in range(num_heads)
@@ -404,34 +410,43 @@ def _decode_kernel(step_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     w = jnp.exp(scores)
     w = w / jnp.sum(w, axis=-1, keepdims=True)
-    for h in range(num_heads):
-        v_h = v_ref[0, h]  # [Lp, D]
-        o_ref[0, h] = jax.lax.dot_general(
-            w[h : h + 1].astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+    o_ref[0] = jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                w[h : h + 1].astype(v.dtype), v[:, h * hd : (h + 1) * hd],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for h in range(num_heads)
+        ],
+        axis=1,
+    ).astype(o_ref.dtype)  # [1, H*D]
 
 
-@functools.partial(jax.jit, static_argnames=("write_offset", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("write_offset", "num_heads", "interpret")
+)
 def decode_attention(q, k, v, key_mask, step, write_offset: int,
-                     interpret: bool = False):
+                     num_heads: int, interpret: bool = False):
     """Single-query-token attention over the unified decode cache.
 
-    q [B, H, 1, D]; k/v [B, H, L, D]; key_mask [B, L] (1 = valid encoder
-    key; decoder and padding slots 0); step: scalar int32 decoder position;
+    Merged-head layout: q [B, 1, H*D]; k/v [B, L, H*D] (raw key/value
+    projections, pre-split_heads); key_mask [B, L] (1 = valid encoder key;
+    decoder and padding slots 0); step: scalar int32 decoder position;
     write_offset: static index of decoder slot 0.  Semantics match
-    mha(q, k, v, DecodeStepSpec(key_mask, step, write_offset).to_bias()).
+    merge_heads(mha(split_heads(q), split_heads(k), split_heads(v),
+    DecodeStepSpec(key_mask, step, write_offset).to_bias())).
 
     Eval-only (no VJP): the greedy decode scan never differentiates.
     """
-    b, h, _, d = q.shape
-    l = k.shape[2]
+    b, _, hd_total = q.shape
+    d = hd_total // num_heads
+    l = k.shape[1]
     scale = 1.0 / (d ** 0.5)
     l_p = _round_up(l, _LANE)
     if l_p != l:
-        pad = ((0, 0), (0, 0), (0, l_p - l), (0, 0))
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
+        k = jnp.pad(k, ((0, 0), (0, l_p - l), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, l_p - l), (0, 0)))
     maskp = jnp.pad(
         key_mask.astype(jnp.float32), ((0, 0), (0, l_p - l))
     )[:, None, :]
@@ -440,25 +455,25 @@ def decode_attention(q, k, v, key_mask, step, write_offset: int,
     out = pl.pallas_call(
         functools.partial(
             _decode_kernel, scale=scale, write_offset=write_offset,
-            num_heads=h,
+            num_heads=num_heads, head_dim=d,
         ),
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # step [1]
-            pl.BlockSpec((1, h, 1, d), lambda bi: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, h, l_p, d), lambda bi: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, h, l_p, d), lambda bi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, 1, hd_total), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, l_p, hd_total), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, l_p, hd_total), lambda bi: (bi, 0, 0)),
             pl.BlockSpec((1, 1, l_p), lambda bi: (bi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, h, 1, d), lambda bi: (bi, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, 1, d), q.dtype),
+        out_specs=pl.BlockSpec((1, 1, hd_total), lambda bi: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 1, hd_total), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * l_p * d,
-            bytes_accessed=b * h * 2 * l_p * d * k.dtype.itemsize,
-            transcendentals=b * h * l_p,
+            flops=4 * b * l_p * hd_total,
+            bytes_accessed=b * 2 * l_p * hd_total * k.dtype.itemsize,
+            transcendentals=b * num_heads * l_p,
         ),
         interpret=interpret,
     )(step_arr, q, k, v, maskp)
