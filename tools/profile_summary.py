@@ -31,18 +31,28 @@ def find_xplane(root: str) -> str:
 
 
 def summarise(xplane: str, top_n: int = 25):
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
+    # xprof's converter works with the image's protobuf; the older
+    # tensorboard-plugin-profile one needs pure-python descriptors
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    try:
+        from xprof.convert import raw_to_tool_data as rttd
+    except ImportError:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rttd
 
     data, _ = rttd.xspace_to_tool_data(
-        [xplane], "framework_op_stats^", {"tqx": "out:json;"}
+        [xplane], "framework_op_stats", {"tqx": "out:json;"}
     )
     if isinstance(data, bytes):
         data = data.decode("utf-8")
-    table = json.loads(data)
-    cols = [c["label"] for c in table["table"]["cols"]]
+    obj = json.loads(data)
+    # xprof returns a list of gviz tables (device, host); older plugins a
+    # single {"table": ...} dict
+    tables = obj if isinstance(obj, list) else [obj.get("table", obj)]
+    table = tables[0]
+    cols = [c["label"] for c in table["cols"]]
     rows = [
         [cell.get("v") if cell else None for cell in r["c"]]
-        for r in table["table"]["rows"]
+        for r in table["rows"]
     ]
     idx = {c: i for i, c in enumerate(cols)}
     # column labels vary slightly across plugin versions; match loosely

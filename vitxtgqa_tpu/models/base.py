@@ -93,13 +93,20 @@ class JointQAModel(nn.Module):
         n_ocr = ocr.shape[1]
         ocr_out = enc_h[:, l0 - n_ocr : l0]
         dec_cache = enc_kvs  # unified: dec slots live at write_offset..+dec
-        ans_table = self.classifier.table()
         lo = argmax_variant * b
+        # hoist every loop-invariant projection out of the scan: the
+        # normalised prev-pred tables and the OcrPtrNet key projection
+        # together profiled at ~57ms/step at batch 384 when recomputed
+        # inside the loop
+        ans_tbl, ocr_tbl = self.prev_pred_embeddings.tables(
+            self.classifier.table(), ocr
+        )
+        ptr_keys = self.ocr_ptr_net.keys(ocr_out)
 
         def step(carry, t):
             prev_tok, cache = carry
-            dec_emb_t = self.prev_pred_embeddings(
-                ans_table, ocr, prev_tok[:, None],
+            dec_emb_t = self.prev_pred_embeddings.embed(
+                ans_tbl, ocr_tbl, prev_tok[:, None],
                 deterministic=True, position_offset=t,
             )
             # compact spec: the XLA path materialises the same bias as the
@@ -112,7 +119,11 @@ class JointQAModel(nn.Module):
                 dec_emb_t, None, cache, t, bias_t, deterministic=True,
                 write_offset=write_offset,
             )
-            scores_t = self._scores(y_t, ocr_out, ocr_masks)[:, 0, :]
+            fixed = self.classifier(y_t)
+            dynamic = self.ocr_ptr_net.scores_from_keys(
+                y_t, ptr_keys, ocr_masks
+            )
+            scores_t = jnp.concatenate([fixed, dynamic], axis=-1)[:, 0, :]
             nxt = jnp.argmax(scores_t[lo : lo + b], axis=-1)
             nxtN = jnp.concatenate([nxt] * n_variants, axis=0)
             return (nxtN, cache), scores_t

@@ -284,14 +284,21 @@ class PrevPredEmbeddings(nn.Module):
         self.emb_ln = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype)
         self.drop = nn.Dropout(c.hidden_dropout_prob)
 
-    def __call__(self, ans_emb, ocr_emb, prev_inds, deterministic: bool = True,
-                 position_offset: int = 0):
-        """ans_emb [V, D] fixed-vocab table; ocr_emb [B, N, D]; prev_inds
-        [B, S] (S may be 1 for cached decode with position_offset=t)."""
+    def tables(self, ans_emb, ocr_emb):
+        """LayerNormed embedding tables: ([V, D], [B, N, D]).
+
+        Loop-invariant during decode — compute ONCE before the scan (the
+        per-step ocr_ln over [B, 960, 768] profiled at ~30ms/step at batch
+        384); ``embed`` then only gathers."""
+        return self.ans_ln(ans_emb).astype(ocr_emb.dtype), self.ocr_ln(ocr_emb)
+
+    def embed(self, ans, ocr, prev_inds, deterministic: bool = True,
+              position_offset: int = 0):
+        """Gather decoder-slot embeddings from prepared tables (see
+        ``tables``); prev_inds [B, S] (S may be 1 for cached decode with
+        position_offset=t)."""
         b, s = prev_inds.shape
-        ans_num = ans_emb.shape[0]
-        ans = self.ans_ln(ans_emb).astype(ocr_emb.dtype)  # [V, D]
-        ocr = self.ocr_ln(ocr_emb)  # [B, N, D]
+        ans_num = ans.shape[0]
         # two clamped gathers + select instead of materialising the
         # concatenated [B, V+N, D] address space (1.8GB at production dims,
         # rebuilt inside every decode step before this change)
@@ -303,10 +310,17 @@ class PrevPredEmbeddings(nn.Module):
         raw = jnp.where(is_ocr[..., None], from_ocr, from_ans)
 
         positions = jnp.arange(s)[None, :] + position_offset
-        token_type = (prev_inds >= ans_num).astype(jnp.int32)
+        token_type = is_ocr.astype(jnp.int32)
         emb = self.position_embeddings(positions) + self.token_type_embeddings(token_type)
         emb = self.drop(self.emb_ln(emb), deterministic=deterministic)
         return raw + emb
+
+    def __call__(self, ans_emb, ocr_emb, prev_inds, deterministic: bool = True,
+                 position_offset: int = 0):
+        """ans_emb [V, D] fixed-vocab table; ocr_emb [B, N, D]; prev_inds
+        [B, S] (S may be 1 for cached decode with position_offset=t)."""
+        ans, ocr = self.tables(ans_emb, ocr_emb)
+        return self.embed(ans, ocr, prev_inds, deterministic, position_offset)
 
 
 class OcrPtrNet(nn.Module):
@@ -319,15 +333,29 @@ class OcrPtrNet(nn.Module):
     hidden_size: int
     query_key_size: int = 0
 
-    @nn.compact
-    def __call__(self, query_inputs, key_inputs, attention_mask):
+    def setup(self):
         qk = self.query_key_size or self.hidden_size
-        q = nn.Dense(qk, name="query")(query_inputs)
-        k = nn.Dense(qk, name="key")(key_inputs)
+        self.query = nn.Dense(qk, name="query")
+        self.key = nn.Dense(qk, name="key")
+
+    def keys(self, key_inputs):
+        """Project the OCR keys.  Loop-invariant during decode — call ONCE
+        before the scan (re-projecting [B, 960, 768] keys every step
+        profiled at ~27ms/step at batch 384)."""
+        return self.key(key_inputs)
+
+    def scores_from_keys(self, query_inputs, k, attention_mask):
+        qk = self.query_key_size or self.hidden_size
+        q = self.query(query_inputs)
         scores = jnp.einsum(
             "bsd,bnd->bsn", q, k, preferred_element_type=jnp.float32
         ) / jnp.sqrt(jnp.asarray(qk, jnp.float32))
         return scores + attention_mask[:, None, :].astype(scores.dtype)
+
+    def __call__(self, query_inputs, key_inputs, attention_mask):
+        return self.scores_from_keys(
+            query_inputs, self.keys(key_inputs), attention_mask
+        )
 
 
 class FixedVocabClassifier(nn.Module):
