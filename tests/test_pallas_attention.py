@@ -364,3 +364,76 @@ def test_decode_mha_falls_back_on_cpu():
     got = decode_mha(q, k, v, spec(6), num_heads=4)
     want = _decode_reference(q, k, v, 4, spec(6).to_bias())
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# merged-head full-sequence flash kernel
+# ---------------------------------------------------------------------------
+
+
+def _merged_case(b=2, h=4, l_enc=52, dec=12, d=16, seed=5, dtype=jnp.float32):
+    from vitxtgqa_tpu.ops.masks import joint_mask_spec
+
+    l = l_enc + dec
+    r = jax.random.split(jax.random.key(seed), 3)
+    q = jax.random.normal(r[0], (b, l, h * d), dtype)
+    k = jax.random.normal(r[1], (b, l, h * d), dtype)
+    v = jax.random.normal(r[2], (b, l, h * d), dtype)
+    enc_mask = (jnp.arange(l_enc)[None, :] < jnp.asarray([[40], [52]])).astype(
+        jnp.float32
+    )
+    spec = joint_mask_spec(enc_mask, dec)
+    return q, k, v, spec
+
+
+def test_flash_merged_matches_reference():
+    from vitxtgqa_tpu.ops.pallas_attention import flash_attention_merged
+
+    q, k, v, spec = _merged_case()
+    got = flash_attention_merged(
+        q, k, v, spec.key_mask, spec.dec_len, num_heads=4, interpret=True
+    )
+    want = _decode_reference(q, k, v, 4, spec.to_bias())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_merged_blocked_q():
+    from vitxtgqa_tpu.ops.pallas_attention import flash_attention_merged
+
+    q, k, v, spec = _merged_case(l_enc=244, dec=12)
+    got = flash_attention_merged(
+        q, k, v, spec.key_mask, spec.dec_len, num_heads=4, block_q=128,
+        interpret=True,
+    )
+    want = _decode_reference(q, k, v, 4, spec.to_bias())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_merged_grads_match_reference():
+    from vitxtgqa_tpu.ops.pallas_attention import flash_attention_merged
+
+    q, k, v, spec = _merged_case()
+
+    def loss_merged(q, k, v):
+        out = flash_attention_merged(
+            q, k, v, spec.key_mask, spec.dec_len, num_heads=4, interpret=True
+        )
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ref(q, k, v):
+        out = _decode_reference(q, k, v, 4, spec.to_bias())
+        return jnp.sum(out * jnp.cos(out))
+
+    g1 = jax.grad(loss_merged, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_mha_merged_fallback_matches_split_path():
+    from vitxtgqa_tpu.ops.attention import mha_merged
+
+    q, k, v, spec = _merged_case()
+    got = mha_merged(q, k, v, spec, num_heads=4)
+    want = _decode_reference(q, k, v, 4, spec.to_bias())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

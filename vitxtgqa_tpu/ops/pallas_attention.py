@@ -369,6 +369,156 @@ def _flash_bwd_impl(q, k, v, key_mask, seed, g, dec_len: int, block_q: int,
 
 
 # ---------------------------------------------------------------------------
+# merged-head flash kernel: full-sequence attention on [B, L, H*D] operands
+# ---------------------------------------------------------------------------
+
+
+def _flash_merged_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
+                         block_q, l_total, dec_len, num_heads, head_dim):
+    """One (batch, q-block) step; all heads resident in merged layout.
+
+    q [1, BQ, H*D]; k/v [1, Lp, H*D]; mask [1, 1, Lp].  Heads are sliced
+    from the 768-lane minor dim in VMEM, so the HBM operands keep the raw
+    projection layout — no split_heads/merge_heads transposes (profiled at
+    ~12ms per layer at batch 384) and no XLA layout-conversion copies
+    around the pallas_call.
+    """
+    q = q_ref[0]  # [BQ, H*D]
+    k = k_ref[0]  # [Lp, H*D]
+    v = v_ref[0]
+    bq = q.shape[0]
+    lp = k.shape[0]
+    key_ok = mask_ref[0, 0:1, :] > 0
+    allowed = _allowed(bq, lp, pl.program_id(1), block_q, l_total, dec_len,
+                       key_ok)
+    hd = head_dim
+    outs = []
+    for h in range(num_heads):
+        scores = jax.lax.dot_general(
+            q[:, h * hd : (h + 1) * hd], k[:, h * hd : (h + 1) * hd],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * scale  # [BQ, Lp] fp32
+        scores = jnp.where(allowed, scores, _NEG)
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        w = jnp.exp(scores)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        outs.append(
+            jax.lax.dot_general(
+                w.astype(v.dtype), v[:, h * hd : (h + 1) * hd],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dec_len", "num_heads", "block_q", "interpret"),
+)
+def flash_attention_merged(q, k, v, key_mask, dec_len: int, num_heads: int,
+                           block_q: int = 0, interpret: bool = False):
+    """Merged-head full-sequence flash attention (no dropout).
+
+    q/k/v [B, L, H*D] raw projections; key_mask/dec_len as in
+    flash_attention.  Semantics match merge_heads(flash_attention(
+    split_heads(q), split_heads(k), split_heads(v), key_mask, dec_len)).
+
+    Differentiable: the backward splits heads and reuses the split-layout
+    backward kernel (the transposes then live in the backward only — the
+    training forward and the whole eval path stay transpose-free).
+    """
+    return _flash_merged_vjp(dec_len, num_heads, block_q, interpret,
+                             q, k, v, key_mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _flash_merged_vjp(dec_len, num_heads, block_q, interpret, q, k, v,
+                      key_mask):
+    return _flash_merged_impl(q, k, v, key_mask, dec_len, num_heads,
+                              block_q, interpret)
+
+
+def _flash_merged_fwd(dec_len, num_heads, block_q, interpret, q, k, v,
+                      key_mask):
+    out = _flash_merged_impl(q, k, v, key_mask, dec_len, num_heads,
+                             block_q, interpret)
+    return out, (q, k, v, key_mask)
+
+
+def _flash_merged_bwd(dec_len, num_heads, block_q, interpret, res, g):
+    q, k, v, key_mask = res
+    b, l, hd_total = q.shape
+    d = hd_total // num_heads
+
+    def split(x):
+        return x.reshape(b, l, num_heads, d).transpose(0, 2, 1, 3)
+
+    seed = jnp.zeros((1,), jnp.int32)
+    dq, dk, dv = _flash_bwd_impl(
+        split(q), split(k), split(v), key_mask, seed, split(g),
+        dec_len, 0, interpret, 0.0, False,
+    )
+
+    def merge(x):
+        return x.transpose(0, 2, 1, 3).reshape(b, l, hd_total)
+
+    return merge(dq), merge(dk), merge(dv), jnp.zeros_like(key_mask)
+
+
+_flash_merged_vjp.defvjp(_flash_merged_fwd, _flash_merged_bwd)
+
+
+def _flash_merged_impl(q, k, v, key_mask, dec_len: int, num_heads: int,
+                       block_q: int = 0, interpret: bool = False):
+    b, l, hd_total = q.shape
+    d = hd_total // num_heads
+    scale = 1.0 / (d ** 0.5)
+    l_p = _round_up(l, _LANE)
+    block_q = _pick_block_q(l_p, block_q)
+    lq_p = _round_up(l_p, block_q)
+    if lq_p != l:
+        q = jnp.pad(q, ((0, 0), (0, lq_p - l), (0, 0)))
+    if l_p != l:
+        k = jnp.pad(k, ((0, 0), (0, l_p - l), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, l_p - l), (0, 0)))
+    maskp = jnp.pad(
+        key_mask.astype(jnp.float32), ((0, 0), (0, l_p - l))
+    )[:, None, :]
+
+    grid = (b, lq_p // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_merged_kernel, scale=scale, block_q=block_q, l_total=l,
+            dec_len=dec_len, num_heads=num_heads, head_dim=d,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd_total), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, l_p, hd_total), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, l_p, hd_total), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, l_p), lambda bi, qi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, hd_total), lambda bi, qi: (bi, qi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, lq_p, hd_total), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * lq_p * l_p * hd_total,
+            bytes_accessed=(
+                b * (2 * lq_p + 2 * l_p) * hd_total * q.dtype.itemsize
+            ),
+            transcendentals=b * num_heads * lq_p * l_p,
+        ),
+        interpret=interpret,
+    )(q, k, v, maskp)
+    return out[:, :l, :]
+
+
+# ---------------------------------------------------------------------------
 # decode-step kernel: q_len == 1 attention over the unified KV cache
 # ---------------------------------------------------------------------------
 
