@@ -86,9 +86,31 @@ class TransformerLayer(nn.Module):
     def _finish(self, x_q, ctx, deterministic):
         attn = self.hidden_drop(self.attn_out(ctx), deterministic=deterministic)
         x = self.attn_ln(x_q + attn)
-        ffn = self.ffn_out(nn.gelu(self.ffn_in(x), approximate=False))
+        ffn = self._ffn(x)
         ffn = self.hidden_drop(ffn, deterministic=deterministic)
         return self.ffn_ln(x + ffn)
+
+    def _ffn(self, x):
+        from vitxtgqa_tpu.ops.attention import _on_tpu, pallas_enabled
+        from vitxtgqa_tpu.ops.pallas_ffn import ffn_kernel_ok, fused_ffn
+
+        rows = 1
+        for s in x.shape[:-1]:
+            rows *= s
+        if (
+            not self.is_initializing()
+            and pallas_enabled(self.cfg.use_pallas)
+            and _on_tpu()
+            and ffn_kernel_ok(x.shape[-1], self.cfg.intermediate_size, rows)
+            and x.shape[-1] == self.cfg.hidden_size
+        ):
+            p_in = self.ffn_in.variables["params"]
+            p_out = self.ffn_out.variables["params"]
+            return fused_ffn(
+                x, p_in["kernel"], p_in["bias"], p_out["kernel"],
+                p_out["bias"],
+            )
+        return self.ffn_out(nn.gelu(self.ffn_in(x), approximate=False))
 
     def __call__(self, x, bias, deterministic: bool = True, return_kv: bool = False):
         h = self.cfg.num_attention_heads

@@ -36,6 +36,12 @@ def set_decode_pallas(enabled: bool) -> None:
     _GLOBAL_DECODE_PALLAS = bool(enabled)
 
 
+def pallas_enabled(use_pallas: bool = False) -> bool:
+    """True when the pallas kernel family is switched on (per-module flag
+    or the process-wide set_use_pallas)."""
+    return use_pallas or _GLOBAL_USE_PALLAS
+
+
 def _on_tpu() -> bool:
     """Mosaic kernels lower only on TPU backends (the axon tunnel proxies
     one); CPU/virtual-device runs silently use the XLA path instead."""

@@ -1,0 +1,139 @@
+"""Fused transformer FFN kernel (Pallas/Mosaic TPU).
+
+``fused_ffn(x, w1, b1, w2, b2)`` computes
+``gelu(x @ w1 + b1) @ w2 + b2`` with the [rows, intermediate] activation
+kept in VMEM: XLA's unfused chain writes the 3072-wide gelu activation to
+HBM and reads it back (2.7GB each way at serving dims) — the fused kernel
+holds one row-block of it on-chip with both weight matrices resident.
+Measured 28.1ms vs 38.8ms per layer at [384*1152, 768->3072->768] bf16 on
+v5e (1.38x, same session).
+
+gelu uses the Abramowitz-Stegun 7.1.26 erf approximation (max abs error
+1.5e-7 — two orders below bf16 resolution; Mosaic has no erf primitive).
+The reference's BertIntermediate uses exact-erf gelu
+(reference: pythia/models/t2s.py:548-633 via BertLayer); the deviation is
+documented here and bounded well under the bf16 compute noise.
+
+Differentiable via jax.custom_vjp: the backward recomputes through the
+plain XLA reference expression (jax.vjp), so gradients are exactly the
+unfused graph's.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+# measured fastest at serving dims (256/1024 within noise); intermediate
+# block is [block_r, 3072] fp32 = 6.3MB VMEM
+_BLOCK_R = 512
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 erf (max abs err 1.5e-7)."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+        + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu(x):
+    return x * 0.5 * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    x = x_ref[...]  # [R, D]
+    h = jax.lax.dot_general(
+        x, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)
+    h = _gelu(h).astype(x.dtype)  # [R, M] — never leaves VMEM
+    y = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[...].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def ffn_reference(x, w1, b1, w2, b2):
+    """The unfused expression (and the VJP rule for the fused kernel)."""
+    h = jax.nn.gelu(
+        (jnp.dot(x, w1.astype(x.dtype)) + b1).astype(x.dtype),
+        approximate=False,
+    )
+    return (jnp.dot(h, w2.astype(x.dtype)) + b2).astype(x.dtype)
+
+
+def fused_ffn(x, w1, b1, w2, b2, interpret: bool = False):
+    """x [..., D]; w1 [D, M]; b1 [M]; w2 [M, D2]; b2 [D2] -> [..., D2]."""
+    return _ffn_vjp(interpret, x, w1, b1, w2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ffn_vjp(interpret, x, w1, b1, w2, b2):
+    return _ffn_impl(x, w1, b1, w2, b2, interpret)
+
+
+def _ffn_fwd(interpret, x, w1, b1, w2, b2):
+    return _ffn_impl(x, w1, b1, w2, b2, interpret), (x, w1, b1, w2, b2)
+
+
+def _ffn_bwd(interpret, res, g):
+    _, vjp = jax.vjp(ffn_reference, *res)
+    return vjp(g)
+
+
+_ffn_vjp.defvjp(_ffn_fwd, _ffn_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ffn_impl(x, w1, b1, w2, b2, interpret: bool = False):
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    m = w1.shape[1]
+    d2 = w2.shape[1]
+    w1 = w1.astype(x.dtype)
+    w2 = w2.astype(x.dtype)
+    x2 = x.reshape(-1, d)
+    r = x2.shape[0]
+    rp = (r + _BLOCK_R - 1) // _BLOCK_R * _BLOCK_R
+    if rp != r:
+        x2 = jnp.pad(x2, ((0, rp - r), (0, 0)))
+    out = pl.pallas_call(
+        _ffn_kernel,
+        grid=(rp // _BLOCK_R,),
+        in_specs=[
+            pl.BlockSpec((_BLOCK_R, d), lambda i: (i, 0)),
+            pl.BlockSpec((d, m), lambda i: (0, 0)),  # resident
+            pl.BlockSpec((m,), lambda i: (0,)),
+            pl.BlockSpec((m, d2), lambda i: (0, 0)),  # resident
+            pl.BlockSpec((d2,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((_BLOCK_R, d2), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rp, d2), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * m * (d + d2),
+            bytes_accessed=(
+                rp * (d + d2) + m * (d + d2)
+            ) * x.dtype.itemsize,
+            transcendentals=rp * m,
+        ),
+        interpret=interpret,
+    )(x2, w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32))
+    return out[:r].reshape(*orig_shape[:-1], d2)
+
+
+def ffn_kernel_ok(d: int, m: int, rows: int) -> bool:
+    """Shapes the fused kernel accepts profitably: lane-aligned dims and
+    enough rows to amortise the resident weight DMA."""
+    return d % _LANE == 0 and m % _LANE == 0 and rows >= 2048
