@@ -86,19 +86,22 @@ class TransformerLayer(nn.Module):
     def _finish(self, x_q, ctx, deterministic):
         attn = self.hidden_drop(self.attn_out(ctx), deterministic=deterministic)
         x = self.attn_ln(x_q + attn)
-        ffn = self._ffn(x)
+        ffn = self._ffn(x, deterministic)
         ffn = self.hidden_drop(ffn, deterministic=deterministic)
         return self.ffn_ln(x + ffn)
 
-    def _ffn(self, x):
+    def _ffn(self, x, deterministic: bool = True):
         from vitxtgqa_tpu.ops.attention import _on_tpu, pallas_enabled
         from vitxtgqa_tpu.ops.pallas_ffn import ffn_kernel_ok, fused_ffn
 
         rows = 1
         for s in x.shape[:-1]:
             rows *= s
+        # eval-only: under remat the custom-VJP forward computes 3x in
+        # training (A/B: 66.3 vs 68.1 videos/s) while serving gains 10%
         if (
-            not self.is_initializing()
+            deterministic
+            and not self.is_initializing()
             and pallas_enabled(self.cfg.use_pallas)
             and _on_tpu()
             and ffn_kernel_ok(x.shape[-1], self.cfg.intermediate_size, rows)
