@@ -83,37 +83,45 @@ class TransformerLayer(nn.Module):
         self.attn_drop = nn.Dropout(c.attention_probs_dropout_prob)
         self.hidden_drop = nn.Dropout(c.hidden_dropout_prob)
 
-    def _finish(self, x_q, ctx, deterministic):
-        attn = self.hidden_drop(self.attn_out(ctx), deterministic=deterministic)
-        x = self.attn_ln(x_q + attn)
-        ffn = self._ffn(x, deterministic)
-        ffn = self.hidden_drop(ffn, deterministic=deterministic)
-        return self.ffn_ln(x + ffn)
-
-    def _ffn(self, x, deterministic: bool = True):
+    def _fused_block_ok(self, x, deterministic: bool) -> bool:
         from vitxtgqa_tpu.ops.attention import _on_tpu, pallas_enabled
-        from vitxtgqa_tpu.ops.pallas_ffn import ffn_kernel_ok, fused_ffn
+        from vitxtgqa_tpu.ops.pallas_ffn import ffn_kernel_ok
 
         rows = 1
         for s in x.shape[:-1]:
             rows *= s
         # eval-only: under remat the custom-VJP forward computes 3x in
-        # training (A/B: 66.3 vs 68.1 videos/s) while serving gains 10%
-        if (
+        # training (A/B: 66.3 vs 68.1 videos/s) while serving gains 10%+
+        return (
             deterministic
             and not self.is_initializing()
             and pallas_enabled(self.cfg.use_pallas)
             and _on_tpu()
             and ffn_kernel_ok(x.shape[-1], self.cfg.intermediate_size, rows)
             and x.shape[-1] == self.cfg.hidden_size
-        ):
-            p_in = self.ffn_in.variables["params"]
-            p_out = self.ffn_out.variables["params"]
-            return fused_ffn(
-                x, p_in["kernel"], p_in["bias"], p_out["kernel"],
-                p_out["bias"],
+        )
+
+    def _finish(self, x_q, ctx, deterministic):
+        if self._fused_block_ok(x_q, deterministic):
+            # whole post-attention block in one kernel: attn_out matmul,
+            # both residual+LN clusters, and the gelu intermediate stay in
+            # VMEM (separately they profiled ~48ms/layer at batch 384)
+            from vitxtgqa_tpu.ops.pallas_ffn import fused_block
+
+            p = lambda m: m.variables["params"]
+            po, p1, p2 = p(self.attn_out), p(self.ffn_in), p(self.ffn_out)
+            ln1, ln2 = p(self.attn_ln), p(self.ffn_ln)
+            return fused_block(
+                x_q, ctx, po["kernel"], po["bias"], ln1["scale"],
+                ln1["bias"], p1["kernel"], p1["bias"], p2["kernel"],
+                p2["bias"], ln2["scale"], ln2["bias"],
+                eps=self.cfg.layer_norm_eps,
             )
-        return self.ffn_out(nn.gelu(self.ffn_in(x), approximate=False))
+        attn = self.hidden_drop(self.attn_out(ctx), deterministic=deterministic)
+        x = self.attn_ln(x_q + attn)
+        ffn = self.ffn_out(nn.gelu(self.ffn_in(x), approximate=False))
+        ffn = self.hidden_drop(ffn, deterministic=deterministic)
+        return self.ffn_ln(x + ffn)
 
     def __call__(self, x, bias, deterministic: bool = True, return_kv: bool = False):
         h = self.cfg.num_attention_heads
