@@ -28,9 +28,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_A100_VIDEOS_PER_SEC = 15.0
-# 384 is the measured throughput sweet spot on one v5e (500 videos/s vs 382
-# at 192; 768 saturates at ~498); main() halves the batch on OOM
-BATCH = int(os.environ.get("BENCH_BATCH", "384"))
+# 576 is the measured sweet spot on one v5e with the fused kernel set
+# (906 videos/s vs 890 at 384; 768 failed to compile in-session); main()
+# halves the batch on OOM
+BATCH = int(os.environ.get("BENCH_BATCH", "576"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 # default ON: the flash kernel (in-VMEM mask construction, resident K/V)
 # measured 361 videos/s vs 75 on the XLA fused path in the same session

@@ -475,6 +475,11 @@ def _flash_merged_impl(q, k, v, key_mask, dec_len: int, num_heads: int,
     d = hd_total // num_heads
     scale = 1.0 / (d ** 0.5)
     l_p = _round_up(l, _LANE)
+    if block_q <= 0 and l_p % 384 == 0:
+        # an even 384-row split measured fastest at the framework's 1152
+        # tokens (25.4ms vs 27.4 full-block; non-dividing blocks lose more
+        # to q-padding than they gain: 512 -> 37ms via the 1536 pad)
+        block_q = 384
     block_q = _pick_block_q(l_p, block_q)
     lq_p = _round_up(l_p, block_q)
     if lq_p != l:
