@@ -67,6 +67,12 @@ def _run_once(batch_size: int):
     from vitxtgqa_tpu.ops.attention import set_decode_pallas
 
     set_decode_pallas(os.environ.get("BENCH_DECODE_KERNEL", "1") == "1")
+    # int8 decode KV cache (default on — the recommended serving config):
+    # halves decode-loop HBM reads; 942 vs 906 videos/s at batch 576.
+    # BENCH_KV_INT8=0 for the exact-bf16 cache (parity runs).
+    from vitxtgqa_tpu.models.common import set_kv_cache_int8
+
+    set_kv_cache_int8(os.environ.get("BENCH_KV_INT8", "1") == "1")
 
     cfg = build_config(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -437,3 +437,86 @@ def test_mha_merged_fallback_matches_split_path():
     got = mha_merged(q, k, v, spec, num_heads=4)
     want = _decode_reference(q, k, v, 4, spec.to_bias())
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# int8 decode cache
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_kv_roundtrip_error_bound():
+    from vitxtgqa_tpu.ops.attention import dequantize_kv, quantize_kv
+
+    x = jax.random.normal(jax.random.key(0), (2, 50, 8 * 16))
+    q8, s = quantize_kv(x)
+    assert q8.dtype == jnp.int8 and s.shape == (2, 50)
+    back = dequantize_kv(q8, s)
+    # symmetric int8: error <= scale/2 = max|token row| / 254
+    bound = (jnp.max(jnp.abs(x), axis=-1) / 253.9)[..., None]
+    err = jnp.abs(back - x)
+    assert float(jnp.max(err - bound)) <= 1e-6
+
+
+def test_decode_attention_int8_close_to_fp():
+    from vitxtgqa_tpu.ops.attention import quantize_kv
+    from vitxtgqa_tpu.ops.pallas_attention import decode_attention_int8
+
+    q, k, v, key_mask, spec = _decode_case()
+    k8, ks = quantize_kv(k, 4)
+    v8, vs = quantize_kv(v, 4)
+    got = decode_attention_int8(
+        q, k8, ks, v8, vs, key_mask, jnp.int32(5), write_offset=96,
+        num_heads=4, interpret=True,
+    )
+    want = _decode_reference(q, k, v, 4, spec(5).to_bias())
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_decode_mha_int8_fallback_matches_dequantized():
+    from vitxtgqa_tpu.ops.attention import decode_mha, dequantize_kv, quantize_kv
+
+    q, k, v, key_mask, spec = _decode_case()
+    k_t, v_t = quantize_kv(k, 4), quantize_kv(v, 4)
+    got = decode_mha(q, k_t, v_t, spec(3), num_heads=4)
+    want = _decode_reference(
+        q, dequantize_kv(*k_t, 4), dequantize_kv(*v_t, 4), 4,
+        spec(3).to_bias(),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_greedy_decode_int8_argmax_stability():
+    """Model-level: int8 cache greedy decode picks the same tokens as the
+    fp cache on a small trained-scale example (CPU fallback path)."""
+    from vitxtgqa_tpu.models.common import set_kv_cache_int8
+    from vitxtgqa_tpu.models.t2s import T2S
+    from vitxtgqa_tpu.utils.synthetic import synthetic_batch, tiny_model_config
+
+    frames, opf = 8, 3
+    cfg = tiny_model_config(hidden=64, frames=frames, ocr_per_frame=opf)
+    num_final = 32 + frames * opf
+    model = T2S(config=cfg, num_final_outputs=num_final, bos_idx=2,
+                inference_only=True)
+    batch = synthetic_batch(
+        batch=3, frames=frames, ocr_per_frame=opf, dec_steps=4,
+        text_len=10, video_feat_dim=32, fasttext_dim=16, phoc_dim=24,
+        num_final_outputs=num_final, text_vocab=128,
+    )
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "gumbel": jax.random.key(2)}
+    params = model.init(rngs, batch, train=True)["params"]
+
+    def run():
+        out = model.apply({"params": params}, batch, train=False,
+                          rngs={"gumbel": jax.random.key(3)})
+        return np.asarray(jnp.argmax(out["pos_scores"], axis=-1))
+
+    base = run()
+    set_kv_cache_int8(True)
+    try:
+        quant = run()
+    finally:
+        set_kv_cache_int8(False)
+    assert (base == quant).mean() > 0.9, (base, quant)

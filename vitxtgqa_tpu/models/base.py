@@ -93,6 +93,10 @@ class JointQAModel(nn.Module):
         n_ocr = ocr.shape[1]
         ocr_out = enc_h[:, l0 - n_ocr : l0]
         dec_cache = enc_kvs  # unified: dec slots live at write_offset..+dec
+        from vitxtgqa_tpu.models.common import kv_cache_int8_enabled
+
+        if kv_cache_int8_enabled():
+            dec_cache = self.mmt.quantize_cache(enc_kvs)
         lo = argmax_variant * b
         # hoist every loop-invariant projection out of the scan: the
         # normalised prev-pred tables and the OcrPtrNet key projection

@@ -149,6 +149,21 @@ class TransformerLayer(nn.Module):
 
 
 _GLOBAL_REMAT = False
+_GLOBAL_KV_INT8 = False
+
+
+def set_kv_cache_int8(enabled: bool) -> None:
+    """Quantize the unified decode cache to int8 with per-(token, head)
+    scales (config: training_parameters.tpu.kv_cache_int8) — halves the
+    decode loop's dominant HBM traffic and the cache footprint.  Greedy
+    argmax is tolerant to the ~0.4% relative quantization error; exact
+    bf16 parity runs should leave it off."""
+    global _GLOBAL_KV_INT8
+    _GLOBAL_KV_INT8 = bool(enabled)
+
+
+def kv_cache_int8_enabled() -> bool:
+    return _GLOBAL_KV_INT8
 
 
 def set_remat(enabled: bool) -> None:
@@ -210,20 +225,46 @@ class TransformerEncoder(nn.Module):
         scan (profiled at ~2.5GB of concat copies per step at batch 192).
         """
         if write_offset is None:
-            write_offset = enc_kvs[0][0].shape[1] if enc_kvs is not None else 0
+            first = dec_cache[0][0] if enc_kvs is None else enc_kvs[0][0]
+            if isinstance(first, tuple):
+                first = first[0]
+            write_offset = first.shape[1] if enc_kvs is not None else 0
+
+        def write(cache, x_new, pos):
+            """DUS one token into a plain [B, L, H*D] cache or an
+            (int8 values, [B, L] per-token scales) quantized cache."""
+            if isinstance(cache, tuple):
+                from vitxtgqa_tpu.ops.attention import quantize_kv
+
+                vals, scales = cache
+                q8, sc = quantize_kv(x_new)
+                vals = jax.lax.dynamic_update_slice_in_dim(
+                    vals, q8, pos, axis=1
+                )
+                scales = jax.lax.dynamic_update_slice_in_dim(
+                    scales, sc.astype(scales.dtype), pos, axis=1
+                )
+                return (vals, scales)
+            return jax.lax.dynamic_update_slice_in_dim(
+                cache, x_new.astype(cache.dtype), pos, axis=1
+            )
+
         new_cache = []
         for layer, (ck, cv) in zip(self.layers, dec_cache):
             k_t = layer.key(x_t)  # [B, 1, H*D]
             v_t = layer.value(x_t)
-            ck = jax.lax.dynamic_update_slice_in_dim(
-                ck, k_t.astype(ck.dtype), write_offset + step, axis=1
-            )
-            cv = jax.lax.dynamic_update_slice_in_dim(
-                cv, v_t.astype(cv.dtype), write_offset + step, axis=1
-            )
+            ck = write(ck, k_t, write_offset + step)
+            cv = write(cv, v_t, write_offset + step)
             new_cache.append((ck, cv))
             x_t = layer.decode(x_t, ck, cv, bias_t, deterministic)
         return x_t, new_cache
+
+    def quantize_cache(self, kvs):
+        """[(k, v)] merged bf16 caches -> [((k8, ks), (v8, vs))] int8."""
+        from vitxtgqa_tpu.ops.attention import quantize_kv
+
+        h = self.cfg.num_attention_heads
+        return [(quantize_kv(k, h), quantize_kv(v, h)) for k, v in kvs]
 
     def init_dec_cache(self, batch: int, dec_len: int, enc_kvs=None):
         """Unified per-layer merged KV caches [B, Lenc+dec, H*D]: the

@@ -60,10 +60,32 @@ def set_sequence_parallel(mesh, axis: str = "sp") -> None:
     _SP = (mesh, axis)
 
 
+def quantize_kv(x: jax.Array, num_heads: int = 0):
+    """[B, L, H*D] -> (int8 [B, L, H*D], scales [B, L] f32).
+
+    Symmetric per-token quantization for the int8 decode cache (config:
+    training_parameters.tpu.kv_cache_int8 — halves the decode loop's HBM
+    reads).  Per-token (not per-head) scales on purpose: a per-head
+    reshape to [.., H, 64] puts a 64-wide dim minor, and XLA materialises
+    3.57GB of layout-conversion temps per call at full-eval dims; the
+    per-token lane-wise reduce stays in the native layout.  num_heads is
+    accepted for signature stability and unused."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)  # [B, L]
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q8 = jnp.round(x.astype(jnp.float32) / scale[..., None]).astype(jnp.int8)
+    return q8, scale
+
+
+def dequantize_kv(q8: jax.Array, scales: jax.Array, num_heads: int = 0,
+                  dtype=jnp.float32) -> jax.Array:
+    """Inverse of quantize_kv (the XLA-fallback path)."""
+    return (q8.astype(jnp.float32) * scales[..., None]).astype(dtype)
+
+
 def decode_mha(
     q_raw: jax.Array,  # [B, 1, H*D] raw query projection (pre-split)
-    k_raw: jax.Array,  # [B, L, H*D] unified decode cache, heads merged
-    v_raw: jax.Array,  # [B, L, H*D]
+    k_raw,  # [B, L, H*D] unified decode cache, or (int8, scales) tuple
+    v_raw,  # [B, L, H*D] or (int8, scales)
     spec,  # masks.DecodeStepSpec (or additive bias for the fallback)
     num_heads: int,
     use_pallas: bool = False,
@@ -74,23 +96,39 @@ def decode_mha(
     zero-copy: per-head [.., 64] operands forced XLA layout-conversion
     temps the size of the whole cache (4.08GB at full-eval dims).  On
     non-TPU backends (or with the kernel toggled off) the heads split on
-    the fly and run the XLA path with identical semantics.
+    the fly and run the XLA path with identical semantics.  An int8 cache
+    arrives as (values, scales) tuples (see quantize_kv).
     """
     from vitxtgqa_tpu.ops.masks import DecodeStepSpec
 
-    if (
+    quantized = isinstance(k_raw, tuple)
+    cache_len = (k_raw[0] if quantized else k_raw).shape[1]
+    pallas_ok = (
         isinstance(spec, DecodeStepSpec)
         and (use_pallas or _GLOBAL_USE_PALLAS)
         and _GLOBAL_DECODE_PALLAS
-        and k_raw.shape[1] >= _PALLAS_MIN_KV
+        and cache_len >= _PALLAS_MIN_KV
         and _on_tpu()
-    ):
+    )
+    if pallas_ok:
+        if quantized:
+            from vitxtgqa_tpu.ops.pallas_attention import (
+                decode_attention_int8,
+            )
+
+            return decode_attention_int8(
+                q_raw, k_raw[0], k_raw[1], v_raw[0], v_raw[1],
+                spec.key_mask, spec.step, spec.write_offset, num_heads,
+            )
         from vitxtgqa_tpu.ops.pallas_attention import decode_attention
 
         return decode_attention(
             q_raw, k_raw, v_raw, spec.key_mask, spec.step,
             spec.write_offset, num_heads,
         )
+    if quantized:
+        k_raw = dequantize_kv(*k_raw, num_heads, dtype=q_raw.dtype)
+        v_raw = dequantize_kv(*v_raw, num_heads, dtype=q_raw.dtype)
     bias = spec.to_bias() if isinstance(spec, DecodeStepSpec) else spec
     ctx = mha(
         split_heads(q_raw, num_heads),

@@ -636,6 +636,119 @@ def decode_attention(q, k, v, key_mask, step, write_offset: int,
 
 
 # ---------------------------------------------------------------------------
+# int8 decode-step kernel: quantized unified KV cache (halves cache reads)
+# ---------------------------------------------------------------------------
+
+
+def _decode_int8_kernel(step_ref, q_ref, k8_ref, ks_ref, v8_ref, vs_ref,
+                        mask_ref, o_ref, *, scale, write_offset, num_heads,
+                        head_dim):
+    """Like _decode_kernel, but K/V arrive int8 with per-token scales
+    [1, Lp].  The scales fold into the [H, Lp] score/weight tiles (one
+    broadcast multiply each) — no per-element dequant cost beyond the
+    int8->bf16 convert of the tiles."""
+    step = step_ref[0]
+    key_ok = mask_ref[0, 0:1, :] > 0
+    cols = jax.lax.broadcasted_iota(jnp.int32, key_ok.shape, 1)
+    dec_ok = jnp.logical_and(cols >= write_offset,
+                             cols <= write_offset + step)
+    allowed = jnp.logical_or(key_ok, dec_ok)
+
+    q = q_ref[0]  # [1, H*D]
+    kf = k8_ref[0].astype(q.dtype)  # [Lp, H*D] (int8 values exact in bf16)
+    vf = v8_ref[0].astype(q.dtype)
+    ks = ks_ref[0]  # [1, Lp] f32 per-token scale
+    vs = vs_ref[0]
+    hd = head_dim
+    scores = jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                q[:, h * hd : (h + 1) * hd], kf[:, h * hd : (h + 1) * hd],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for h in range(num_heads)
+        ],
+        axis=0,
+    ) * (ks * scale)  # [H, Lp] fp32, dequant folded in (row broadcast)
+    scores = jnp.where(allowed, scores, _NEG)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    w = jnp.exp(scores)
+    w = (w / jnp.sum(w, axis=-1, keepdims=True)) * vs  # V dequant folded
+    o_ref[0] = jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                w[h : h + 1].astype(vf.dtype), vf[:, h * hd : (h + 1) * hd],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for h in range(num_heads)
+        ],
+        axis=1,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("write_offset", "num_heads", "interpret")
+)
+def decode_attention_int8(q, k8, ks, v8, vs, key_mask, step,
+                          write_offset: int, num_heads: int,
+                          interpret: bool = False):
+    """decode_attention over an int8-quantized cache.
+
+    k8/v8 [B, L, H*D] int8; ks/vs [B, L] f32 per-token scales (see
+    ops.attention.quantize_kv).  Semantics match decode_attention on the
+    dequantized cache; quantization error is bounded by the int8 step of
+    the token's max-magnitude channel.
+    """
+    b, _, hd_total = q.shape
+    d = hd_total // num_heads
+    l = k8.shape[1]
+    scale = 1.0 / (d ** 0.5)
+    l_p = _round_up(l, _LANE)
+    if l_p != l:
+        k8 = jnp.pad(k8, ((0, 0), (0, l_p - l), (0, 0)))
+        v8 = jnp.pad(v8, ((0, 0), (0, l_p - l), (0, 0)))
+        ks = jnp.pad(ks, ((0, 0), (0, l_p - l)))
+        vs = jnp.pad(vs, ((0, 0), (0, l_p - l)))
+    ks = ks[:, None, :]  # [B, 1, Lp] — same block geometry as the mask
+    vs = vs[:, None, :]
+    maskp = jnp.pad(
+        key_mask.astype(jnp.float32), ((0, 0), (0, l_p - l))
+    )[:, None, :]
+    step_arr = jnp.asarray(step, jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_int8_kernel, scale=scale, write_offset=write_offset,
+            num_heads=num_heads, head_dim=d,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # step [1]
+            pl.BlockSpec((1, 1, hd_total), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, l_p, hd_total), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, l_p), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, l_p, hd_total), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, l_p), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, l_p), lambda bi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hd_total), lambda bi: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 1, hd_total), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * l_p * hd_total,
+            bytes_accessed=b * 2 * l_p * hd_total,
+            transcendentals=b * num_heads * l_p,
+        ),
+        interpret=interpret,
+    )(step_arr, q, k8, ks, v8, vs, maskp)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # legacy bias-tensor kernel (kept for comparison)
 # ---------------------------------------------------------------------------
 

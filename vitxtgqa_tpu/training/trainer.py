@@ -227,6 +227,11 @@ class BaseTrainer:
 
             set_use_pallas(True)
             self.logger.write("fused Pallas attention enabled")
+        if tpu_cfg is not None and getattr(tpu_cfg, "kv_cache_int8", False):
+            from vitxtgqa_tpu.models.common import set_kv_cache_int8
+
+            set_kv_cache_int8(True)
+            self.logger.write("int8 decode KV cache enabled")
         if tpu_cfg is not None and getattr(tpu_cfg, "debug_nans", False):
             jax.config.update("jax_debug_nans", True)
             self.logger.write("jax_debug_nans enabled")
