@@ -181,6 +181,17 @@ def _flash_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, g_ref,
     ) * scale
 
 
+def _even_block_q(l_p: int) -> int:
+    """Largest evenly-dividing q-block for the dropout/backward kernels
+    (they hold ~4 [BQ, Lp] fp32 buffers, so blocks are bounded): at the
+    framework's 1152 tokens, 576 measured 16.8ms fwd+bwd vs 21.2 for the
+    non-dividing 512 (q-row padding to 1536)."""
+    for cand in (576, 512, 384, 256, 128):
+        if l_p % cand == 0:
+            return cand
+    return 384
+
+
 def _pick_block_q(l_p: int, block_q: int) -> int:
     if block_q <= 0:
         # full-sequence q-blocks measured fastest at the framework's 1056
@@ -237,7 +248,7 @@ def flash_attention(q, k, v, key_mask, dec_len: int = 0, block_q: int = 0,
         # the dropout pattern is seeded per (b, h, q-block): forward and
         # backward must use identical blocking, and the backward holds ~4
         # [BQ, Lp] fp32 buffers -> pick the backward-sized default for both
-        block_q = 512
+        block_q = _even_block_q(_round_up(q.shape[2], _LANE))
     return _flash_vjp(
         dec_len, block_q, interpret, float(dropout_rate), pad_d, q, k, v,
         key_mask, jnp.asarray(dropout_seed, jnp.int32).reshape(1),
@@ -317,7 +328,7 @@ def _flash_bwd_impl(q, k, v, key_mask, seed, g, dec_len: int, block_q: int,
     scale = 1.0 / (d ** 0.5)
     # smaller default q-blocks: the backward holds ~4 [BQ, Lp] fp32 buffers
     if block_q <= 0:
-        block_q = 512
+        block_q = _even_block_q(_round_up(l, _LANE))
     qp, kp, vp, maskp, block_q, l_p, lq_p, d_p = _pad_inputs(
         q, k, v, key_mask, block_q, pad_d
     )
