@@ -52,23 +52,50 @@ class ViTEncoderLayer(nn.Module):
 
     cfg: ViTConfig
 
-    @nn.compact
+    def setup(self):
+        c = self.cfg
+        self.ln1 = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="ln1")
+        self.query = nn.Dense(c.hidden_size, dtype=c.dtype, name="query")
+        self.key = nn.Dense(c.hidden_size, dtype=c.dtype, name="key")
+        self.value = nn.Dense(c.hidden_size, dtype=c.dtype, name="value")
+        self.attn_out = nn.Dense(c.hidden_size, dtype=c.dtype, name="attn_out")
+        self.ln2 = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="ln2")
+        self.mlp_in = nn.Dense(c.mlp_dim, dtype=c.dtype, name="mlp_in")
+        self.mlp_out = nn.Dense(c.hidden_size, dtype=c.dtype, name="mlp_out")
+
+    def _mlp(self, h):
+        from vitxtgqa_tpu.ops.attention import _on_tpu, pallas_enabled
+        from vitxtgqa_tpu.ops.pallas_ffn import ffn_kernel_ok, fused_ffn
+
+        c = self.cfg
+        rows = 1
+        for s in h.shape[:-1]:
+            rows *= s
+        # same fused matmul-gelu-matmul kernel as the QA transformers: the
+        # mlp_dim intermediate (4096-wide for ViT-L) stays in VMEM
+        if (
+            not self.is_initializing()
+            and pallas_enabled()
+            and _on_tpu()
+            and ffn_kernel_ok(c.hidden_size, c.mlp_dim, rows)
+        ):
+            p_in = self.mlp_in.variables["params"]
+            p_out = self.mlp_out.variables["params"]
+            return fused_ffn(
+                h, p_in["kernel"], p_in["bias"], p_out["kernel"],
+                p_out["bias"],
+            )
+        return self.mlp_out(nn.gelu(self.mlp_in(h), approximate=False))
+
     def __call__(self, x, deterministic: bool = True):
         c = self.cfg
-        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="ln1")(x)
-        q = split_heads(nn.Dense(c.hidden_size, dtype=c.dtype, name="query")(h), c.num_heads)
-        k = split_heads(nn.Dense(c.hidden_size, dtype=c.dtype, name="key")(h), c.num_heads)
-        v = split_heads(nn.Dense(c.hidden_size, dtype=c.dtype, name="value")(h), c.num_heads)
-        attn = nn.Dense(c.hidden_size, dtype=c.dtype, name="attn_out")(
-            merge_heads(mha(q, k, v))
-        )
+        h = self.ln1(x)
+        q = split_heads(self.query(h), c.num_heads)
+        k = split_heads(self.key(h), c.num_heads)
+        v = split_heads(self.value(h), c.num_heads)
+        attn = self.attn_out(merge_heads(mha(q, k, v)))
         x = x + attn
-        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=c.dtype, name="ln2")(x)
-        h = nn.Dense(c.mlp_dim, dtype=c.dtype, name="mlp_in")(h)
-        h = nn.Dense(c.hidden_size, dtype=c.dtype, name="mlp_out")(
-            nn.gelu(h, approximate=False)
-        )
-        return x + h
+        return x + self._mlp(self.ln2(x))
 
 
 class ViT(nn.Module):
