@@ -520,3 +520,29 @@ def test_greedy_decode_int8_argmax_stability():
     finally:
         set_kv_cache_int8(False)
     assert (base == quant).mean() > 0.9, (base, quant)
+
+
+def test_flash_merged_dropout_grads_interpret():
+    """Merged bwd kernel (no dropout — CPU interpret PRNG returns zeros)
+    must match reference grads; multi-block accumulation exercised."""
+    from vitxtgqa_tpu.ops.pallas_attention import flash_attention_merged
+
+    q, k, v, spec = _merged_case(l_enc=244, dec=12)
+
+    def loss_merged(q, k, v):
+        out = flash_attention_merged(
+            q, k, v, spec.key_mask, spec.dec_len, num_heads=4, block_q=128,
+            interpret=True,
+        )
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ref(q, k, v):
+        out = _decode_reference(q, k, v, 4, spec.to_bias())
+        return jnp.sum(out * jnp.cos(out))
+
+    g1 = jax.grad(loss_merged, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3
+        )

@@ -168,13 +168,21 @@ def mha_merged(
     if (
         isinstance(bias, MaskSpec)
         and not sp_active
-        and dropout_rate == 0.0
         and (use_pallas or _GLOBAL_USE_PALLAS)
         and k_raw.shape[1] >= _PALLAS_MIN_KV
         and _on_tpu()
     ):
         from vitxtgqa_tpu.ops.pallas_attention import flash_attention_merged
 
+        if dropout_rate > 0.0 and dropout_rng is not None:
+            seed = jax.random.randint(
+                dropout_rng, (), 0, jnp.iinfo(jnp.int32).max,
+                dtype=jnp.int32,
+            )
+            return flash_attention_merged(
+                q_raw, k_raw, v_raw, bias.key_mask, bias.dec_len, num_heads,
+                dropout_rate=dropout_rate, dropout_seed=seed,
+            )
         return flash_attention_merged(
             q_raw, k_raw, v_raw, bias.key_mask, bias.dec_len, num_heads
         )

@@ -384,8 +384,9 @@ def _flash_bwd_impl(q, k, v, key_mask, seed, g, dec_len: int, block_q: int,
 # ---------------------------------------------------------------------------
 
 
-def _flash_merged_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
-                         block_q, l_total, dec_len, num_heads, head_dim):
+def _flash_merged_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                         scale, block_q, l_total, dec_len, num_heads,
+                         head_dim, rate):
     """One (batch, q-block) step; all heads resident in merged layout.
 
     q [1, BQ, H*D]; k/v [1, Lp, H*D]; mask [1, 1, Lp].  Heads are sliced
@@ -393,6 +394,11 @@ def _flash_merged_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
     projection layout — no split_heads/merge_heads transposes (profiled at
     ~12ms per layer at batch 384) and no XLA layout-conversion copies
     around the pallas_call.
+
+    Dropout (rate > 0) runs on the in-kernel PRNG, seeded once per
+    (b, q-block) with heads drawing sequentially from the stream — the
+    backward kernel re-seeds identically and walks heads in the same
+    order, regenerating the exact pattern.
     """
     q = q_ref[0]  # [BQ, H*D]
     k = k_ref[0]  # [Lp, H*D]
@@ -402,6 +408,10 @@ def _flash_merged_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
     key_ok = mask_ref[0, 0:1, :] > 0
     allowed = _allowed(bq, lp, pl.program_id(1), block_q, l_total, dec_len,
                        key_ok)
+    if rate > 0.0:
+        pltpu.prng_seed(
+            seed_ref[0], pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        )
     hd = head_dim
     outs = []
     for h in range(num_heads):
@@ -413,6 +423,9 @@ def _flash_merged_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
         scores = scores - jnp.max(scores, axis=-1, keepdims=True)
         w = jnp.exp(scores)
         w = w / jnp.sum(w, axis=-1, keepdims=True)
+        if rate > 0.0:
+            keep = _dropout_keep(w.shape, rate)
+            w = jnp.where(keep, w / (1.0 - rate), 0.0)
         outs.append(
             jax.lax.dot_general(
                 w.astype(v.dtype), v[:, h * hd : (h + 1) * hd],
@@ -423,68 +436,142 @@ def _flash_merged_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
+def _flash_merged_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, g_ref,
+                             dq_ref, dk_ref, dv_ref, *, scale, block_q,
+                             l_total, dec_len, num_heads, head_dim, rate):
+    """Merged-layout backward for one (b, q-block); dk/dv accumulate
+    across q-blocks in resident [Lp, H*D] fp32 output blocks.  Heads walk
+    the PRNG stream in forward order so the dropout pattern regenerates
+    exactly."""
+    qi = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    q = q_ref[0]  # [BQ, H*D]
+    k = k_ref[0]  # [Lp, H*D]
+    v = v_ref[0]
+    g = g_ref[0]  # [BQ, H*D]
+    bq = q.shape[0]
+    lp = k.shape[0]
+    key_ok = mask_ref[0, 0:1, :] > 0
+    allowed = _allowed(bq, lp, qi, block_q, l_total, dec_len, key_ok)
+    if rate > 0.0:
+        pltpu.prng_seed(
+            seed_ref[0], pl.program_id(0) * pl.num_programs(1) + qi
+        )
+        inv = 1.0 / (1.0 - rate)
+    hd = head_dim
+    dqs = []
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        q_h = q[:, sl]
+        k_h = k[:, sl]
+        v_h = v[:, sl]
+        g_h = g[:, sl].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        scores = jnp.where(allowed, scores, _NEG)
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [BQ, Lp]
+        if rate > 0.0:
+            keep = _dropout_keep(p.shape, rate)
+            p_dropped = jnp.where(keep, p * inv, 0.0)
+        else:
+            keep = None
+            p_dropped = p
+        # dV_h += P_d^T g_h
+        dv_ref[0, :, sl] += jax.lax.dot_general(
+            p_dropped, g_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            g_h, v_h.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            dp = jnp.where(keep, dp * inv, 0.0)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dqs.append(
+            jax.lax.dot_general(
+                ds, k_h.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+        )
+        dk_ref[0, :, sl] += jax.lax.dot_general(
+            ds, q_h.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+    dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("dec_len", "num_heads", "block_q", "interpret"),
+    static_argnames=("dec_len", "num_heads", "block_q", "interpret",
+                     "dropout_rate"),
 )
 def flash_attention_merged(q, k, v, key_mask, dec_len: int, num_heads: int,
-                           block_q: int = 0, interpret: bool = False):
-    """Merged-head full-sequence flash attention (no dropout).
+                           block_q: int = 0, interpret: bool = False,
+                           dropout_rate: float = 0.0, dropout_seed=None):
+    """Merged-head full-sequence flash attention.
 
     q/k/v [B, L, H*D] raw projections; key_mask/dec_len as in
     flash_attention.  Semantics match merge_heads(flash_attention(
-    split_heads(q), split_heads(k), split_heads(v), key_mask, dec_len)).
+    split_heads(q), split_heads(k), split_heads(v), key_mask, dec_len))
+    plus optional in-kernel attention-probs dropout (its PRNG stream is
+    per (b, q-block) with heads drawn sequentially — a different but
+    equivalent stream to the split kernel's).
 
-    Differentiable: the backward splits heads and reuses the split-layout
-    backward kernel (the transposes then live in the backward only — the
-    training forward and the whole eval path stay transpose-free).
+    Differentiable: the backward is a merged-layout Pallas kernel too
+    (resident [Lp, H*D] dk/dv accumulators), so neither direction pays
+    split/merge_heads transposes.
     """
-    return _flash_merged_vjp(dec_len, num_heads, block_q, interpret,
-                             q, k, v, key_mask)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _flash_merged_vjp(dec_len, num_heads, block_q, interpret, q, k, v,
-                      key_mask):
-    return _flash_merged_impl(q, k, v, key_mask, dec_len, num_heads,
-                              block_q, interpret)
-
-
-def _flash_merged_fwd(dec_len, num_heads, block_q, interpret, q, k, v,
-                      key_mask):
-    out = _flash_merged_impl(q, k, v, key_mask, dec_len, num_heads,
-                             block_q, interpret)
-    return out, (q, k, v, key_mask)
-
-
-def _flash_merged_bwd(dec_len, num_heads, block_q, interpret, res, g):
-    q, k, v, key_mask = res
-    b, l, hd_total = q.shape
-    d = hd_total // num_heads
-
-    def split(x):
-        return x.reshape(b, l, num_heads, d).transpose(0, 2, 1, 3)
-
-    seed = jnp.zeros((1,), jnp.int32)
-    dq, dk, dv = _flash_bwd_impl(
-        split(q), split(k), split(v), key_mask, seed, split(g),
-        dec_len, 0, interpret, 0.0, False,
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((), jnp.int32)
+    if dropout_rate > 0.0 and block_q <= 0:
+        # fwd and bwd must share blocking for pattern regeneration
+        block_q = _even_block_q(_round_up(q.shape[1], _LANE))
+    return _flash_merged_vjp(
+        dec_len, num_heads, block_q, interpret, float(dropout_rate),
+        q, k, v, key_mask,
+        jnp.asarray(dropout_seed, jnp.int32).reshape(1),
     )
 
-    def merge(x):
-        return x.transpose(0, 2, 1, 3).reshape(b, l, hd_total)
 
-    return merge(dq), merge(dk), merge(dv), jnp.zeros_like(key_mask)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _flash_merged_vjp(dec_len, num_heads, block_q, interpret, rate, q, k, v,
+                      key_mask, seed):
+    return _flash_merged_impl(q, k, v, key_mask, seed, dec_len, num_heads,
+                              block_q, interpret, rate)
+
+
+def _flash_merged_fwd(dec_len, num_heads, block_q, interpret, rate, q, k, v,
+                      key_mask, seed):
+    out = _flash_merged_impl(q, k, v, key_mask, seed, dec_len, num_heads,
+                             block_q, interpret, rate)
+    return out, (q, k, v, key_mask, seed)
+
+
+def _flash_merged_bwd(dec_len, num_heads, block_q, interpret, rate, res, g):
+    q, k, v, key_mask, seed = res
+    dq, dk, dv = _flash_merged_bwd_impl(
+        q, k, v, key_mask, seed, g, dec_len, num_heads, block_q, interpret,
+        rate,
+    )
+    return dq, dk, dv, jnp.zeros_like(key_mask), jnp.zeros_like(seed)
 
 
 _flash_merged_vjp.defvjp(_flash_merged_fwd, _flash_merged_bwd)
 
 
-def _flash_merged_impl(q, k, v, key_mask, dec_len: int, num_heads: int,
-                       block_q: int = 0, interpret: bool = False):
+def _merged_geometry(q, k, v, key_mask, num_heads, block_q):
     b, l, hd_total = q.shape
     d = hd_total // num_heads
-    scale = 1.0 / (d ** 0.5)
     l_p = _round_up(l, _LANE)
     if block_q <= 0 and l_p % 384 == 0:
         # an even 384-row split measured fastest at the framework's 1152
@@ -501,15 +588,28 @@ def _flash_merged_impl(q, k, v, key_mask, dec_len: int, num_heads: int,
     maskp = jnp.pad(
         key_mask.astype(jnp.float32), ((0, 0), (0, l_p - l))
     )[:, None, :]
+    return q, k, v, maskp, block_q, l_p, lq_p, d
+
+
+def _flash_merged_impl(q, k, v, key_mask, seed, dec_len: int, num_heads: int,
+                       block_q: int = 0, interpret: bool = False,
+                       rate: float = 0.0):
+    b, l, hd_total = q.shape
+    d = hd_total // num_heads
+    scale = 1.0 / (d ** 0.5)
+    q, k, v, maskp, block_q, l_p, lq_p, d = _merged_geometry(
+        q, k, v, key_mask, num_heads, block_q
+    )
 
     grid = (b, lq_p // block_q)
     out = pl.pallas_call(
         functools.partial(
             _flash_merged_kernel, scale=scale, block_q=block_q, l_total=l,
-            dec_len=dec_len, num_heads=num_heads, head_dim=d,
+            dec_len=dec_len, num_heads=num_heads, head_dim=d, rate=rate,
         ),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
             pl.BlockSpec((1, block_q, hd_total), lambda bi, qi: (bi, qi, 0)),
             pl.BlockSpec((1, l_p, hd_total), lambda bi, qi: (bi, 0, 0)),
             pl.BlockSpec((1, l_p, hd_total), lambda bi, qi: (bi, 0, 0)),
@@ -530,8 +630,67 @@ def _flash_merged_impl(q, k, v, key_mask, dec_len: int, num_heads: int,
             transcendentals=b * num_heads * lq_p * l_p,
         ),
         interpret=interpret,
-    )(q, k, v, maskp)
+    )(seed, q, k, v, maskp)
     return out[:, :l, :]
+
+
+def _flash_merged_bwd_impl(q, k, v, key_mask, seed, g, dec_len: int,
+                           num_heads: int, block_q: int = 0,
+                           interpret: bool = False, rate: float = 0.0):
+    b, l, hd_total = q.shape
+    d = hd_total // num_heads
+    scale = 1.0 / (d ** 0.5)
+    if block_q <= 0:
+        block_q = _even_block_q(_round_up(l, _LANE))
+    q, k, v, maskp, block_q, l_p, lq_p, d = _merged_geometry(
+        q, k, v, key_mask, num_heads, block_q
+    )
+    gp = jnp.pad(g, ((0, 0), (0, lq_p - l), (0, 0)))
+
+    grid = (b, lq_p // block_q)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_merged_bwd_kernel, scale=scale, block_q=block_q,
+            l_total=l, dec_len=dec_len, num_heads=num_heads, head_dim=d,
+            rate=rate,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
+            pl.BlockSpec((1, block_q, hd_total), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, l_p, hd_total), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, l_p, hd_total), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, l_p), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, block_q, hd_total), lambda bi, qi: (bi, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, hd_total), lambda bi, qi: (bi, qi, 0)),
+            # dk/dv: resident accumulator blocks, constant index over qi
+            pl.BlockSpec((1, l_p, hd_total), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, l_p, hd_total), lambda bi, qi: (bi, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lq_p, hd_total), q.dtype),
+            jax.ShapeDtypeStruct((b, l_p, hd_total), jnp.float32),
+            jax.ShapeDtypeStruct((b, l_p, hd_total), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * lq_p * l_p * hd_total,
+            bytes_accessed=(
+                b * (4 * lq_p + 6 * l_p) * hd_total * q.dtype.itemsize
+            ),
+            transcendentals=b * num_heads * lq_p * l_p,
+        ),
+        interpret=interpret,
+    )(seed, q, k, v, maskp, gp)
+    return (
+        dq[:, :l, :],
+        dk[:, :l, :].astype(k.dtype),
+        dv[:, :l, :].astype(v.dtype),
+    )
 
 
 # ---------------------------------------------------------------------------
