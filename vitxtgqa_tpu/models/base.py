@@ -12,7 +12,7 @@ greedy argmax driven by `argmax_variant`.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+
 
 import jax
 import jax.numpy as jnp

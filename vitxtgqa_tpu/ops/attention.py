@@ -11,7 +11,6 @@ accumulate in fp32 on the MXU.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
