@@ -76,6 +76,60 @@ def test_box_ground_evaluator_hit_and_miss():
     assert abs(acc - 1 / 3) < 1e-9
 
 
+def test_box_ground_evaluator_reference_compat():
+    """reference_compat restores m4c_evaluators.py:357-406 bit-for-bit:
+    one append per matching (span, frame) pair, trailing 0 keyed on the
+    LAST pair's flag — so a 2-hit sample contributes 2 entries and a
+    hit-then-miss sample contributes both a 1 and a 0."""
+    ev = E.BoxGroundAccuracyEvaluator()
+    # two predicted frames both inside the span, both with matching boxes
+    double_hit = {
+        "pred_frame": [5, 6],
+        "pred_box": [[0.1, 0.1, 0.5, 0.5], [0.1, 0.1, 0.5, 0.5]],
+        "frame_topk": 2,
+        "ocr_topk": 1,
+        "st_gt": [
+            {
+                "temporal_gt": [0.4, 0.6],
+                "bbox_gt": {"4": [10, 10, 50, 50], "5": [10, 10, 50, 50]},
+            }
+        ],
+        "video_fps": 10,
+        "width": 100,
+        "height": 100,
+    }
+    # first frame hits, second frame (also in span, has GT box) misses:
+    # reference appends the 1 AND the trailing 0 (last flag False)
+    hit_then_miss = {
+        "pred_frame": [5, 6],
+        "pred_box": [[0.1, 0.1, 0.5, 0.5], [0.7, 0.7, 0.9, 0.9]],
+        "frame_topk": 2,
+        "ocr_topk": 1,
+        "st_gt": [
+            {
+                "temporal_gt": [0.4, 0.6],
+                "bbox_gt": {"4": [10, 10, 50, 50], "5": [10, 10, 50, 50]},
+            }
+        ],
+        "video_fps": 10,
+        "width": 100,
+        "height": 100,
+    }
+    fixed_scores, fixed_acc = ev.eval_pred_list(
+        [double_hit, hit_then_miss], threshold=0.5
+    )
+    assert fixed_scores == [1, 1] and fixed_acc == 1.0
+    E.set_reference_compat(True)
+    try:
+        ref_scores, ref_acc = ev.eval_pred_list(
+            [double_hit, hit_then_miss], threshold=0.5
+        )
+    finally:
+        E.set_reference_compat(False)
+    assert ref_scores == [1, 1, 1, 0]
+    assert abs(ref_acc - 0.75) < 1e-9
+
+
 def test_temporal_evaluator():
     ev = E.TempGroundAccuracyEvaluator()
     entries = [

@@ -124,17 +124,27 @@ class GTBoxDataset(VTextGQADataset):
         # misaligns whenever the first annotated frame isn't frame 1.  Here
         # the eval field places each annotated frame's GT box at its
         # frame_list position (deliberate fix, documented).
-        eval_boxes = np.zeros((N, 4), np.float32)
-        for i, fid in enumerate(ground_fid_list):
-            if fid <= 0 or i >= F:
-                continue
-            key = str(fid - 1)
-            if key in box_dict:
-                eval_boxes[i * K] = box_dict[key]
-        eval_boxes *= np.array(
-            [1.0 / width, 1.0 / height, 1.0 / width, 1.0 / height], np.float32
-        )
-        sample["eval_box_list"] = eval_boxes
+        # (reference_compat reverts to the reference's behaviour: the same
+        # per-sampled-frame tensor feeds both model and evaluator)
+        from vitxtgqa_tpu.metrics.evaluators import reference_compat_enabled
+
+        if reference_compat_enabled():
+            sample["eval_box_list"] = np.asarray(
+                sample["ocr_bbox_list"], np.float32
+            )
+        else:
+            eval_boxes = np.zeros((N, 4), np.float32)
+            for i, fid in enumerate(ground_fid_list):
+                if fid <= 0 or i >= F:
+                    continue
+                key = str(fid - 1)
+                if key in box_dict:
+                    eval_boxes[i * K] = box_dict[key]
+            eval_boxes *= np.array(
+                [1.0 / width, 1.0 / height, 1.0 / width, 1.0 / height],
+                np.float32,
+            )
+            sample["eval_box_list"] = eval_boxes
 
         # context features over the annotated tokens replace the detected
         # ones (reference: dataset.py:248-265) — the answer copy space is the

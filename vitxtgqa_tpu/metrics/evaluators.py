@@ -12,6 +12,32 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Sequence
 
+_REFERENCE_COMPAT = False
+
+
+def set_reference_compat(enabled: bool) -> None:
+    """Reproduce the reference's metric *bugs* bit-for-bit (config:
+    training_parameters.reference_compat) for checkpoint-parity diffs.
+
+    Gates two documented deviations back to reference behaviour:
+      * the IoU evaluator's duplicate-append (one score per matching
+        (span, frame) pair instead of one per sample, plus the trailing
+        0 keyed on the LAST pair's flag — m4c_evaluators.py:357-374,406)
+        and GQA's positional indexing into that misaligned list
+        (metrics.py:432-441);
+      * the gt_box oracle's frame/box pairing (the eval boxes reuse the
+        model-input grid laid out per *sampled* frame, so the oracle IoU
+        misaligns whenever the first annotated frame isn't frame 1 —
+        gt_box_clipocr/dataset.py:166-199 fed straight to the evaluator).
+    Default False: the fixed semantics (one score per sample, aligned
+    oracle boxes) that GQA's AND actually requires."""
+    global _REFERENCE_COMPAT
+    _REFERENCE_COMPAT = bool(enabled)
+
+
+def reference_compat_enabled() -> bool:
+    return _REFERENCE_COMPAT
+
 CONTRACTIONS = {
     "aint": "ain't", "arent": "aren't", "cant": "can't", "couldve": "could've",
     "couldnt": "couldn't", "couldn'tve": "couldn't've", "couldnt've": "couldn't've",
@@ -218,9 +244,14 @@ class BoxGroundAccuracyEvaluator:
     the GQA metric (m4c_evaluators.py:357-374 check_iou appends inside the
     loop; metrics.py:432-441 then indexes by batch position).  Here every
     sample contributes exactly one score, which is what GQA's AND requires.
+    set_reference_compat(True) restores the reference's exact semantics
+    (per-pair appends + a trailing 0 keyed on the LAST pair's flag) for
+    checkpoint-parity diffs.
     """
 
     def eval_pred_list(self, pred_list: List[dict], threshold: float):
+        if _REFERENCE_COMPAT:
+            return self._eval_pred_list_reference(pred_list, threshold)
         scores: List[int] = []
         for entry in pred_list:
             w, h = entry["width"], entry["height"]
@@ -246,4 +277,43 @@ class BoxGroundAccuracyEvaluator:
                         if box_iou(gt, pb) > threshold:
                             hit = True
             scores.append(1 if hit else 0)
+        return scores, (sum(scores) / len(scores) if scores else 0.0)
+
+    def _eval_pred_list_reference(self, pred_list: List[dict], threshold: float):
+        """Bit-exact reference semantics (m4c_evaluators.py:357-406):
+        check_iou appends a 1 per (span, frame) pair whose best box clears
+        the threshold; a 0 is appended per sample only when the *last*
+        evaluated pair missed (or none were evaluated), so a sample can
+        contribute several entries and the list misaligns vs batch order."""
+        scores: List[int] = []
+        for entry in pred_list:
+            w, h = entry["width"], entry["height"]
+            boxes = [
+                [b[0] * w, b[1] * h, b[2] * w, b[3] * h]
+                for b in entry["pred_box"]
+            ]
+            topk = entry["ocr_topk"]
+            flag = False
+            for span in entry["st_gt"]:
+                t0, t1 = span["temporal_gt"]
+                st = int(t0 * entry["video_fps"]) + 1
+                ed = int(t1 * entry["video_fps"]) + 1
+                for i, frame in enumerate(entry["pred_frame"]):
+                    if not (st <= int(frame) <= ed):
+                        continue
+                    gt_boxes = span["bbox_gt"]
+                    key = str(int(frame - 1))
+                    if key not in gt_boxes:
+                        continue
+                    gt = gt_boxes[key]
+                    max_iou = 0.0
+                    for pb in boxes[i * topk : (i + 1) * topk]:
+                        iou = box_iou(gt, pb)
+                        if iou > max_iou:
+                            max_iou = iou
+                    flag = max_iou > threshold
+                    if flag:
+                        scores.append(1)
+            if not flag:
+                scores.append(0)
         return scores, (sum(scores) / len(scores) if scores else 0.0)

@@ -203,6 +203,10 @@ class _GQABase:
         qa_scores, _ = self.qa_evaluator.eval_pred_list(
             _qa_predictions(tensors, output, host, ctx)
         )
+        # under reference_compat the box list carries the reference's
+        # duplicate-appends and is indexed by batch position exactly like
+        # metrics.py:432-441 (box_pred_scores[i]); zip() gives identical
+        # pairing since len(box_scores) >= len(qa_scores)
         hits = [1 if b == 1 and q == 1 else 0 for b, q in zip(box_scores, qa_scores)]
         return float(sum(hits) / len(hits)) if hits else 0.0
 

@@ -153,11 +153,16 @@ _GLOBAL_KV_INT8 = False
 
 
 def set_kv_cache_int8(enabled: bool) -> None:
-    """Quantize the unified decode cache to int8 with per-(token, head)
-    scales (config: training_parameters.tpu.kv_cache_int8) — halves the
-    decode loop's dominant HBM traffic and the cache footprint.  Greedy
-    argmax is tolerant to the ~0.4% relative quantization error; exact
-    bf16 parity runs should leave it off."""
+    """Quantize the unified decode cache to int8 with per-token scales
+    (config: training_parameters.tpu.kv_cache_int8) — halves the decode
+    loop's dominant HBM traffic and the cache footprint.  Greedy argmax
+    is tolerant to the ~0.4% relative quantization error; exact bf16
+    parity runs should leave it off.
+
+    Set BEFORE the eval/decode step is first compiled: the flag is read
+    at trace time and jit caches are keyed only on input avals, so
+    toggling after compilation silently has no effect on the cached
+    executable (bench.py and the trainer both set it pre-compile)."""
     global _GLOBAL_KV_INT8
     _GLOBAL_KV_INT8 = bool(enabled)
 

@@ -63,7 +63,7 @@ class ViTEncoderLayer(nn.Module):
         self.mlp_in = nn.Dense(c.mlp_dim, dtype=c.dtype, name="mlp_in")
         self.mlp_out = nn.Dense(c.hidden_size, dtype=c.dtype, name="mlp_out")
 
-    def _mlp(self, h):
+    def _mlp(self, h, deterministic: bool = True):
         from vitxtgqa_tpu.ops.attention import _on_tpu, pallas_enabled
         from vitxtgqa_tpu.ops.pallas_ffn import ffn_kernel_ok, fused_ffn
 
@@ -72,9 +72,12 @@ class ViTEncoderLayer(nn.Module):
         for s in h.shape[:-1]:
             rows *= s
         # same fused matmul-gelu-matmul kernel as the QA transformers: the
-        # mlp_dim intermediate (4096-wide for ViT-L) stays in VMEM
+        # mlp_dim intermediate (4096-wide for ViT-L) stays in VMEM.
+        # Eval-only, mirroring TransformerLayer._fused_block_ok: under
+        # remat the custom-VJP forward is triple-computed in training
         if (
-            not self.is_initializing()
+            deterministic
+            and not self.is_initializing()
             and pallas_enabled()
             and _on_tpu()
             and ffn_kernel_ok(c.hidden_size, c.mlp_dim, rows)
@@ -95,7 +98,7 @@ class ViTEncoderLayer(nn.Module):
         v = split_heads(self.value(h), c.num_heads)
         attn = self.attn_out(merge_heads(mha(q, k, v)))
         x = x + attn
-        return x + self._mlp(self.ln2(x))
+        return x + self._mlp(self.ln2(x), deterministic)
 
 
 class ViT(nn.Module):

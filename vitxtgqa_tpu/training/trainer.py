@@ -232,6 +232,14 @@ class BaseTrainer:
 
             set_kv_cache_int8(True)
             self.logger.write("int8 decode KV cache enabled")
+        if getattr(tp, "reference_compat", False):
+            from vitxtgqa_tpu.metrics.evaluators import set_reference_compat
+
+            set_reference_compat(True)
+            self.logger.write(
+                "reference_compat: metric deviations reverted to "
+                "reference-exact (bug-for-bug) semantics"
+            )
         if tpu_cfg is not None and getattr(tpu_cfg, "debug_nans", False):
             jax.config.update("jax_debug_nans", True)
             self.logger.write("jax_debug_nans enabled")
@@ -477,10 +485,23 @@ class BaseTrainer:
 
     def _val_probe(self):
         """1-batch validation estimate at log cadence
-        (reference: base_trainer.py:347-357)."""
+        (reference: base_trainer.py:347-357).
+
+        Draws successive batches from a persistent cycling iterator like
+        the reference does — a fresh `iter()` each call with shuffle off
+        would score val batch 0 every probe and bias the smoothed val/*
+        meter entries to one batch."""
         if "val" not in self.loaders:
             return
-        batch = next(iter(self.loaders["val"]))
+        it = getattr(self, "_val_probe_iter", None)
+        if it is None:
+            it = iter(self.loaders["val"])
+            self._val_probe_iter = it
+        try:
+            batch = next(it)
+        except StopIteration:
+            self._val_probe_iter = it = iter(self.loaders["val"])
+            batch = next(it)
         tensors = self._put_batch(batch["tensors"])
         out = self.eval_step(self.params, tensors, self.rng, self.iteration)
         _, ldict = self.losses.total(batch["tensors"], jax.device_get(out))
