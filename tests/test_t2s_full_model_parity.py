@@ -418,3 +418,191 @@ def test_t2s_greedy_decode_trace_parity(refpkg, monkeypatch):
             np.asarray(jout[key]), tout[key].numpy(), atol=2e-3,
             err_msg=f"{key} diverged in eval decode",
         )
+
+
+# ---------------------------------------------------------------------------
+# M4C baseline (reference: pythia/models/m4c.py:29-310) — deterministic
+# post-hoc middle-frame grounding, single MMT variant, pos_scores only.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def refm4c(refpkg):
+    import pythia.models.m4c as ref_m4c
+
+    return ref_m4c
+
+
+def _m4c_config_dict():
+    from vitxtgqa_tpu.core.config import build_config
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = build_config(os.path.join(root, "configs", "m4c_abinet.yml"))
+
+    def plain(node):
+        if hasattr(node, "items"):
+            return {k: plain(v) for k, v in node.items()}
+        return node
+
+    d = plain(cfg.model_attributes.m4c)
+    d["text_bert_init_from_bert_base"] = False
+    _zero_dropout(d)
+    for sect in ("text_bert", "translayers", "encoder", "mmt"):
+        d.setdefault(sect, {})
+        d[sect]["hidden_dropout_prob"] = 0.0
+        d[sect]["attention_probs_dropout_prob"] = 0.0
+    return d
+
+
+def _patch_m4c_determinism(monkeypatch, ref_m4c):
+    """m4c is noise-free; only the stable-tie + softmax-floor patches apply
+    (its PostHoc sorts the question-OCR attention, m4c.py:384-400, whose
+    tail has the same cross-framework fp-dust problem)."""
+    import torch
+
+    FLOOR = 1e-12
+
+    def torch_attn_forward(self, q, k, attn_mask=None):
+        attention = torch.bmm(q, k.transpose(-2, -1)).squeeze(1)
+        attention = self.softmax(attention)
+        attention = attention * attn_mask
+        attention = attention / (attention.sum(dim=-1, keepdim=True) + 1e-12)
+        attention = torch.where(
+            attention < FLOOR, torch.zeros_like(attention), attention
+        )
+        return torch.where(attn_mask == 0, -10000.0, attention)
+
+    monkeypatch.setattr(ref_m4c.AttentionScore, "forward", torch_attn_forward)
+    monkeypatch.setattr(ref_m4c, "torch", _StableTorch(torch))
+
+    import vitxtgqa_tpu.models.posthoc as PH
+
+    def jax_attention_score(q_global, feats, mask):
+        attn = jnp.einsum(
+            "bqd,bld->bl", q_global, feats,
+            preferred_element_type=jnp.float32,
+        )
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = attn * mask
+        attn = attn / (attn.sum(-1, keepdims=True) + 1e-12)
+        attn = jnp.where(attn < FLOOR, 0.0, attn)
+        return jnp.where(mask == 0, -10000.0, attn)
+
+    monkeypatch.setattr(PH, "attention_score", jax_attention_score)
+
+
+def _build_m4c_pair(refm4c, cfg_dict, batch_size):
+    import torch
+
+    from vitxtgqa_tpu.core.config import ConfigNode
+    from vitxtgqa_tpu.models.m4c import M4C
+    from vitxtgqa_tpu.utils import torch_convert as TC
+    from vitxtgqa_tpu.utils.synthetic import synthetic_batch
+
+    torch.manual_seed(1)
+    tmodel = refm4c.M4C(ConfigNode(cfg_dict))
+    tmodel.build()
+    tmodel = tmodel.float()
+
+    jmodel = M4C(
+        config=ConfigNode(cfg_dict), num_final_outputs=NUM_FINAL, bos_idx=2,
+        compute_dtype=jnp.float32,
+    )
+    init_batch = synthetic_batch(
+        batch=batch_size, num_final_outputs=NUM_FINAL, seed=0
+    )
+    variables = jax.eval_shape(
+        lambda: jmodel.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            init_batch, train=True,
+        )
+    )
+    params = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), variables["params"]
+    )
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    flat = TC.convert_t2s_like(
+        sd,
+        text_layers=int(cfg_dict["text_bert"]["num_hidden_layers"]),
+        mmt_layers=int(cfg_dict["mmt"]["num_hidden_layers"]),
+        has_qtv=False, has_grounding=False, has_posthoc=True,
+        obj_has_frame_embed=False, ocr_has_ids=False,
+    )
+    params = TC.convert_into_params(flat, params, strict=True)
+    return tmodel, jmodel, params
+
+
+def _jax_apply_m4c(jmodel, params, batch, train):
+    return jmodel.apply(
+        {"params": params},
+        {k: jnp.asarray(v) for k, v in batch.items()},
+        train=train,
+        rngs={"dropout": jax.random.key(7)},
+    )
+
+
+def test_m4c_train_forward_parity(refm4c, monkeypatch):
+    import torch
+
+    from vitxtgqa_tpu.losses import pos_bce_loss
+    from vitxtgqa_tpu.utils.synthetic import synthetic_batch
+
+    b = 2
+    batch = synthetic_batch(batch=b, num_final_outputs=NUM_FINAL, seed=21)
+    _patch_m4c_determinism(monkeypatch, refm4c)
+
+    cfg = _m4c_config_dict()
+    tmodel, jmodel, params = _build_m4c_pair(refm4c, cfg, batch_size=b)
+
+    tmodel.train()
+    sl = _torch_sample_list(batch)
+    with torch.no_grad():
+        tout = tmodel.forward(sl)
+    jout = _jax_apply_m4c(jmodel, params, batch, train=True)
+
+    np.testing.assert_array_equal(
+        np.asarray(jout["ground_frame"]), tout["ground_frame"].numpy()
+    )
+    np.testing.assert_allclose(
+        np.asarray(jout["ground_box"]), tout["ground_box"].numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jout["pos_scores"]), tout["pos_scores"].numpy(), atol=2e-3,
+        err_msg="m4c pos_scores diverged between torch and JAX full models",
+    )
+    t_bce = torch.nn.functional.binary_cross_entropy_with_logits(
+        tout["pos_scores"], sl.targets, reduction="none"
+    )
+    t_bce = (t_bce * sl.train_loss_mask.unsqueeze(-1)).sum() / torch.clamp(
+        sl.train_loss_mask.sum(), min=1.0
+    )
+    j_bce = float(
+        pos_bce_loss(batch, {k: np.asarray(v) for k, v in jout.items()})
+    )
+    assert abs(float(t_bce) - j_bce) < 2e-3
+
+
+def test_m4c_greedy_decode_trace_parity(refm4c, monkeypatch):
+    import torch
+
+    from vitxtgqa_tpu.utils.synthetic import synthetic_batch
+
+    b = 1
+    batch = synthetic_batch(batch=b, num_final_outputs=NUM_FINAL, seed=23)
+    _patch_m4c_determinism(monkeypatch, refm4c)
+
+    cfg = _m4c_config_dict()
+    tmodel, jmodel, params = _build_m4c_pair(refm4c, cfg, batch_size=b)
+
+    tmodel.eval()
+    sl = _torch_sample_list(batch)
+    with torch.no_grad():
+        tout = tmodel.forward(sl)
+    jout = _jax_apply_m4c(jmodel, params, batch, train=False)
+
+    t_scores = tout["pos_scores"].numpy()
+    j_scores = np.asarray(jout["pos_scores"])
+    np.testing.assert_array_equal(
+        j_scores.argmax(-1), t_scores.argmax(-1),
+        err_msg="m4c greedy decode chose different tokens",
+    )
+    np.testing.assert_allclose(j_scores, t_scores, atol=2e-3)
