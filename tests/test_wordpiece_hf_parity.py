@@ -42,7 +42,10 @@ def test_wordpiece_matches_hf(vocab_file):
     try:
         from transformers import BertTokenizer
     except ImportError:
-        pytest.skip("transformers unavailable")
+        pytest.skip(
+            "transformers unavailable (recorded-golden test below still "
+            "asserts byte compatibility)"
+        )
     hf = BertTokenizer(
         vocab_file=vocab_file, do_lower_case=True, do_basic_tokenize=True
     )
@@ -51,3 +54,21 @@ def test_wordpiece_matches_hf(vocab_file):
         want = hf.encode(sentence, add_special_tokens=True)
         got = ours.encode(sentence, add_special_tokens=True)
         assert got == want, (sentence, got, want)
+
+
+def test_wordpiece_matches_recorded_hf_goldens():
+    """Asserts unconditionally against token ids recorded from HF
+    BertTokenizer (transformers 4.57.6) on the checked-in tiny vocab —
+    the byte-compat claim of data/wordpiece.py holds even in images
+    without the transformers package (fixture:
+    tests/fixtures/bert_tokenizer_goldens.json)."""
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "fixtures", "bert_tokenizer_goldens.json")) as f:
+        goldens = json.load(f)
+    vocab = os.path.join(here, "fixtures", goldens["vocab_file"])
+    ours = WordPieceTokenizer(vocab)
+    for entry in goldens["encodings"]:
+        got = ours.encode(entry["text"], add_special_tokens=True)
+        assert got == entry["ids"], (entry["text"], got, entry["ids"])
