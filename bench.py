@@ -2,10 +2,11 @@
 
 Measures the flagship serving path — full T2S grounded-QA inference (modality
 encoders + QTV + grounding + KV-cached 12-step greedy pointer decode) at
-production dims (20+64+960 tokens, 768 hidden, batch 192, bfloat16) on the
-available accelerator.  Serving runs the single pos variant (predictions are
+production dims (20+64+960 tokens, 768 hidden, bfloat16) on the available
+accelerator.  Serving runs the single pos variant (predictions are
 bit-identical to the reference's triple contrastive pass — tested);
-BENCH_FULL_EVAL=1 measures the 3-variant validation path.
+BENCH_FULL_EVAL=1 measures the 3-variant validation path instead, and
+BENCH_TRAIN=1 additionally reports the training-step throughput.
 
 vs_baseline compares against an estimated reference throughput of 15
 videos/sec on one A100: the reference re-runs the full 1056-token MMT
@@ -15,7 +16,18 @@ on this shape mix.  The repo publishes no measured numbers (BASELINE.md), so
 this constant is the documented analytic stand-in until the released
 checkpoints are re-run.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  Beyond the driver contract
+{"metric", "value", "unit", "vs_baseline"} the line carries a "config"
+object that makes the number self-describing: the batch size that actually
+executed, which kernel flags were in effect, every fallback event that
+fired (batch halving, Pallas disable, retries), per-iteration wall times,
+and compile/warmup durations — so a recorded value can always be
+reconciled against BASELINE.md (e.g. distinguishing a cold-cache or
+contended-tunnel run from a genuine regression).
+
+Env knobs: BENCH_BATCH, BENCH_ITERS, BENCH_PALLAS, BENCH_DECODE_KERNEL,
+BENCH_KV_INT8, BENCH_FULL_EVAL, BENCH_TRAIN, BENCH_TRAIN_BATCH,
+BENCH_PROFILE_DIR.
 """
 
 from __future__ import annotations
@@ -29,8 +41,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_A100_VIDEOS_PER_SEC = 15.0
 # 576 is the measured sweet spot on one v5e with the fused kernel set
-# (906 videos/s vs 890 at 384; 768 failed to compile in-session); main()
-# halves the batch on OOM
+# (906 videos/s vs 890 at 384; 768 compiled but didn't improve); main()
+# halves the batch on OOM and records the event in the JSON
 BATCH = int(os.environ.get("BENCH_BATCH", "576"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 # default ON: the flash kernel (in-VMEM mask construction, resident K/V)
@@ -40,39 +52,47 @@ USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 # serving path by default (pos variant only — identical predictions, tested);
 # BENCH_FULL_EVAL=1 measures the 3-variant validation path instead
 FULL_EVAL = os.environ.get("BENCH_FULL_EVAL", "0") == "1"
+DECODE_KERNEL = os.environ.get("BENCH_DECODE_KERNEL", "1") == "1"
+KV_INT8 = os.environ.get("BENCH_KV_INT8", "1") == "1"
+BENCH_TRAIN = os.environ.get("BENCH_TRAIN", "0") == "1"
+TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "48"))
+
+# run-provenance record emitted inside the JSON line
+RECORD = {
+    "fallbacks": [],  # events that changed the config mid-run
+    "attempts": 0,
+}
 
 
-def _run_once(batch_size: int):
+def _setup_jax():
     import jax
-    import jax.numpy as jnp
 
-    # persistent compile cache: the tunnelled-TPU compile is minutes-slow;
-    # cache hits bring reruns down to seconds
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", "/tmp/vitxtgqa_jax_cache"
     )
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def _run_once(batch_size: int, use_pallas: bool):
+    jax = _setup_jax()
+    import jax.numpy as jnp
 
     from vitxtgqa_tpu.core.config import build_config
     from vitxtgqa_tpu.models.t2s import T2S
     from vitxtgqa_tpu.utils.synthetic import synthetic_batch
+    from vitxtgqa_tpu.ops.attention import set_decode_pallas, set_use_pallas
+    from vitxtgqa_tpu.models.common import set_kv_cache_int8
 
-    if USE_PALLAS:
-        from vitxtgqa_tpu.ops.attention import set_use_pallas
-
-        set_use_pallas(True)
+    set_use_pallas(use_pallas)
     # A/B knob for the decode-step kernel alone (rides the pallas gate)
-    from vitxtgqa_tpu.ops.attention import set_decode_pallas
-
-    set_decode_pallas(os.environ.get("BENCH_DECODE_KERNEL", "1") == "1")
+    set_decode_pallas(DECODE_KERNEL)
     # int8 decode KV cache (default on — the recommended serving config):
     # halves decode-loop HBM reads; 942 vs 906 videos/s at batch 576.
     # BENCH_KV_INT8=0 for the exact-bf16 cache (parity runs).
-    from vitxtgqa_tpu.models.common import set_kv_cache_int8
-
-    set_kv_cache_int8(os.environ.get("BENCH_KV_INT8", "1") == "1")
+    set_kv_cache_int8(KV_INT8)
 
     cfg = build_config(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -88,6 +108,7 @@ def _run_once(batch_size: int):
 
     rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
             "gumbel": jax.random.key(2)}
+    t_init0 = time.perf_counter()
     variables = jax.jit(
         lambda r, b: model.init(r, b, train=True)
     )(rngs, batch)
@@ -112,9 +133,14 @@ def _run_once(batch_size: int):
     # warmup/compile — several calls: beyond the compile itself, the first
     # ~5 executions of a fresh process measure 10-15% slow on the tunnel
     # backend (allocator/DMA warm-up); timing starts at steady state
+    t_c0 = time.perf_counter()
     digest = float(eval_step(params, dev_batch, jnp.int32(0)))
+    compile_s = time.perf_counter() - t_c0
+    warmup_times = []
     for w in range(1, 5):
+        t_w = time.perf_counter()
         digest = float(eval_step(params, dev_batch, jnp.int32(w)))
+        warmup_times.append(round(time.perf_counter() - t_w, 4))
 
     profile_dir = os.environ.get("BENCH_PROFILE_DIR")
     if profile_dir:
@@ -122,52 +148,179 @@ def _run_once(batch_size: int):
         float(eval_step(params, dev_batch, jnp.int32(99)))
         jax.profiler.stop_trace()
 
-    t0 = time.perf_counter()
+    iter_times = []
+    t_total0 = time.perf_counter()
     seed = jnp.int32(1)
     for _ in range(ITERS):
-        # chain each call on the previous digest so steps serialize
+        # chain each call on the previous digest so steps serialize; the
+        # per-iter D2H float() is the only trusted fence on the tunnel
+        t_i = time.perf_counter()
         d = eval_step(params, dev_batch, seed)
         seed = (d.astype(jnp.int32) % 13) + seed
-    _ = float(seed)  # D2H: everything above has completed
-    dt = time.perf_counter() - t0
+        _ = float(seed)
+        iter_times.append(round(time.perf_counter() - t_i, 4))
+    dt = time.perf_counter() - t_total0
 
+    RECORD.update({
+        "devices": [str(d) for d in jax.devices()],
+        "init_plus_compile_s": round(time.perf_counter() - t_init0, 2),
+        "first_call_s": round(compile_s, 2),
+        "warmup_times_s": warmup_times,
+        "iter_times_s": iter_times,
+    })
     return batch_size * ITERS / dt
 
 
+def _run_train_bench(batch_size: int, use_pallas: bool):
+    """Training-step throughput at the reference's production batch
+    (reference envelope: configs/t2s_abinet.yml:118-135 — batch 48, Adam,
+    clip 0.25).  Mirrors tools/bench_train.py; recorded here so the driver
+    artifact carries the training number too."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import optax
+
+    from vitxtgqa_tpu.core.config import build_config
+    from vitxtgqa_tpu.losses import Losses
+    from vitxtgqa_tpu.models.t2s import T2S
+    from vitxtgqa_tpu.models.common import set_kv_cache_int8, set_remat
+    from vitxtgqa_tpu.ops.attention import set_use_pallas
+    from vitxtgqa_tpu.utils.synthetic import synthetic_batch
+
+    set_use_pallas(use_pallas)
+    set_kv_cache_int8(False)
+    set_remat(True)
+
+    cfg = build_config(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "configs", "t2s_abinet.yml")
+    ).model_attributes.t2s
+    num_final = 5050 + 960
+    model = T2S(
+        config=cfg, num_final_outputs=num_final, bos_idx=2,
+        compute_dtype=jnp.bfloat16, train_variant_scan=True,
+    )
+    batch = synthetic_batch(batch=batch_size, num_final_outputs=num_final, seed=0)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "gumbel": jax.random.key(2)}
+    params = jax.jit(lambda r, b: model.init(r, b, train=True))(rngs, batch)[
+        "params"
+    ]
+    tx = optax.chain(
+        optax.clip_by_global_norm(0.25), optax.adam(1e-4)
+    )
+    opt_state = jax.jit(tx.init)(params)
+    losses = Losses([
+        {"type": "pos_bce_loss", "weight": 1.0},
+        {"type": "InfoNCE", "weight": 1000},
+    ])
+
+    def loss_fn(p, b, step):
+        out = model.apply(
+            {"params": p}, b, train=True,
+            rngs={"dropout": jax.random.fold_in(jax.random.key(3), step),
+                  "gumbel": jax.random.fold_in(jax.random.key(4), step)},
+        )
+        total, _ = losses.total(b, out)
+        return total
+
+    @jax.jit
+    def train_step(p, o, b, step):
+        loss, grads = jax.value_and_grad(loss_fn)(p, b, step)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    dev_batch = jax.device_put(batch)
+    t_c0 = time.perf_counter()
+    params, opt_state, loss = train_step(params, opt_state, dev_batch, 0)
+    _ = float(loss)
+    compile_s = time.perf_counter() - t_c0
+    for w in range(1, 4):
+        params, opt_state, loss = train_step(params, opt_state, dev_batch, w)
+        _ = float(loss)
+
+    iters = max(ITERS, 5)
+    iter_times = []
+    t0 = time.perf_counter()
+    for i in range(iters):
+        t_i = time.perf_counter()
+        params, opt_state, loss = train_step(params, opt_state, dev_batch, 10 + i)
+        _ = float(loss)  # D2H fence
+        iter_times.append(round(time.perf_counter() - t_i, 4))
+    dt = time.perf_counter() - t0
+    return {
+        "value": round(batch_size * iters / dt, 2),
+        "unit": "videos/sec/chip",
+        "batch": batch_size,
+        "first_call_s": round(compile_s, 2),
+        "iter_times_s": iter_times,
+        "remat": True,
+        "variant_scan": True,
+    }
+
+
 def main():
-    global USE_PALLAS
+    use_pallas = USE_PALLAS
     batch_size = BATCH
     videos_per_sec = None
     last_error = None
-    for _ in range(3):
+    for attempt in range(4):
+        RECORD["attempts"] = attempt + 1
         try:
-            videos_per_sec = _run_once(batch_size)
+            videos_per_sec = _run_once(batch_size, use_pallas)
             break
         except Exception as e:  # OOM or kernel failure: degrade gracefully
             last_error = e
             msg = str(e)
+            kind = type(e).__name__
             if (
                 ("RESOURCE_EXHAUSTED" in msg or "remote_compile" in msg
                  or "INTERNAL" in msg)
                 and batch_size > 4
             ):
+                RECORD["fallbacks"].append(
+                    {"event": "batch_halved", "from": batch_size,
+                     "to": batch_size // 2, "error": f"{kind}: {msg[:200]}"}
+                )
                 batch_size //= 2
                 continue
-            if USE_PALLAS:
-                USE_PALLAS = False
-                from vitxtgqa_tpu.ops.attention import set_use_pallas
-
-                set_use_pallas(False)
+            if use_pallas:
+                RECORD["fallbacks"].append(
+                    {"event": "pallas_disabled",
+                     "error": f"{kind}: {msg[:200]}"}
+                )
+                use_pallas = False
                 continue
             raise
     if videos_per_sec is None:
         raise last_error
-    print(json.dumps({
-        "metric": "t2s_eval_throughput",
+
+    result = {
+        "metric": (
+            "t2s_eval_throughput_full_val" if FULL_EVAL
+            else "t2s_serving_throughput"
+        ),
         "value": round(videos_per_sec, 2),
         "unit": "videos/sec/chip",
         "vs_baseline": round(videos_per_sec / REFERENCE_A100_VIDEOS_PER_SEC, 2),
-    }))
+        "config": {
+            "requested_batch": BATCH,
+            "effective_batch": batch_size,
+            "iters": ITERS,
+            "pallas": use_pallas,
+            "decode_kernel": DECODE_KERNEL and use_pallas,
+            "kv_int8": KV_INT8,
+            "full_eval": FULL_EVAL,
+            "dtype": "bfloat16",
+            **RECORD,
+        },
+    }
+    if BENCH_TRAIN:
+        try:
+            result["train"] = _run_train_bench(TRAIN_BATCH, use_pallas)
+        except Exception as e:
+            result["train"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -103,6 +103,73 @@ def test_flash_multiple_q_blocks():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_flash_row_offset_query_shards():
+    """Sequence-parallel composition: running each L/sp query shard with
+    row_offset must reproduce the full-sequence result shard by shard
+    (parallel/sequence_parallel.py routes SP shards through this path)."""
+    b, h, lenc, dec = 1, 2, 122, 6
+    l = lenc + dec  # 128 -> two shards of 64
+    q, k, v = _qkv(b=b, h=h, l=l, d=16, seed=9)
+    enc_mask = (jnp.arange(lenc)[None, :] < 100).astype(jnp.float32)
+    spec = joint_mask_spec(enc_mask, dec)
+    want = np.asarray(
+        flash_attention(q, k, v, spec.key_mask, dec_len=dec, interpret=True)
+    )
+    n_shards = 2
+    l_local = l // n_shards
+    for s in range(n_shards):
+        got = flash_attention(
+            q[:, :, s * l_local : (s + 1) * l_local], k, v, spec.key_mask,
+            dec_len=dec, interpret=True,
+            row_offset=jnp.int32(s * l_local),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), want[:, :, s * l_local : (s + 1) * l_local],
+            atol=2e-5, err_msg=f"shard {s}",
+        )
+
+
+def test_flash_row_offset_grads_match_full():
+    """dq of a row-offset shard == the corresponding rows of full dq; dk/dv
+    shards sum to the full dk/dv (what shard_map's psum delivers)."""
+    b, h, lenc, dec = 1, 1, 58, 6
+    l = lenc + dec
+    q, k, v = _qkv(b=b, h=h, l=l, d=8, seed=4)
+    enc_mask = (jnp.arange(lenc)[None, :] < 50).astype(jnp.float32)
+    spec = joint_mask_spec(enc_mask, dec)
+
+    def full_loss(q, k, v):
+        out = flash_attention(q, k, v, spec.key_mask, dec_len=dec,
+                              interpret=True)
+        return jnp.sum(out * jnp.cos(out.astype(jnp.float32)))
+
+    dq_full, dk_full, dv_full = jax.grad(full_loss, argnums=(0, 1, 2))(q, k, v)
+
+    l_local = l // 2
+    dk_sum = jnp.zeros_like(dk_full)
+    dv_sum = jnp.zeros_like(dv_full)
+    for s in range(2):
+        q_s = q[:, :, s * l_local : (s + 1) * l_local]
+
+        def shard_loss(q_s, k, v, s=s):
+            out = flash_attention(
+                q_s, k, v, spec.key_mask, dec_len=dec, interpret=True,
+                row_offset=jnp.int32(s * l_local),
+            )
+            return jnp.sum(out * jnp.cos(out.astype(jnp.float32)))
+
+        dq_s, dk_s, dv_s = jax.grad(shard_loss, argnums=(0, 1, 2))(q_s, k, v)
+        np.testing.assert_allclose(
+            np.asarray(dq_s),
+            np.asarray(dq_full[:, :, s * l_local : (s + 1) * l_local]),
+            atol=2e-5,
+        )
+        dk_sum = dk_sum + dk_s
+        dv_sum = dv_sum + dv_s
+    np.testing.assert_allclose(np.asarray(dk_sum), np.asarray(dk_full), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dv_sum), np.asarray(dv_full), atol=2e-5)
+
+
 def test_mask_spec_to_bias_equivalence():
     enc_mask = (jnp.arange(40)[None, :] < jnp.asarray([[33], [40]])).astype(
         jnp.float32

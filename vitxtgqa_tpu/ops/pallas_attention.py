@@ -58,11 +58,17 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _allowed(bq, lp, qi, block_q, l_total, dec_len, key_ok):
-    """[BQ, Lp] bool attention-permission matrix for this q-block."""
+def _allowed(bq, lp, qi, block_q, l_total, dec_len, key_ok, row_offset=0):
+    """[BQ, Lp] bool attention-permission matrix for this q-block.
+
+    row_offset (dynamic scalar) maps local q rows to global sequence
+    positions when the caller holds a sequence-parallel query shard."""
     if dec_len > 0:
         l_enc = l_total - dec_len
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, lp), 0) + qi * block_q
+        rows = (
+            jax.lax.broadcasted_iota(jnp.int32, (bq, lp), 0)
+            + qi * block_q + row_offset
+        )
         cols = jax.lax.broadcasted_iota(jnp.int32, (bq, lp), 1)
         dec_k = jnp.logical_and(cols >= l_enc, cols < l_total)
         causal = jnp.logical_and(
@@ -89,7 +95,8 @@ def _dropout_keep(shape, rate):
 
 def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
                   block_q, l_total, dec_len, rate):
-    """One (b, h, q-block) step; K/V blocks cover the full key range."""
+    """One (b, h, q-block) step; K/V blocks cover the full key range.
+    seed_ref [2] SMEM: [dropout seed, global row offset of q row 0]."""
     q = q_ref[0, 0]  # [BQ, Dp]
     k = k_ref[0, 0]  # [Lp, Dp]
     v = v_ref[0, 0]  # [Lp, Dp]
@@ -101,7 +108,7 @@ def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale,
     bq, lp = scores.shape
     key_ok = mask_ref[0, 0:1, :] > 0  # [1, Lp] valid encoder keys
     allowed = _allowed(bq, lp, pl.program_id(2), block_q, l_total, dec_len,
-                       key_ok)
+                       key_ok, seed_ref[1])
 
     scores = jnp.where(allowed, scores, _NEG)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
@@ -139,7 +146,8 @@ def _flash_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, g_ref,
     ) * scale
     bq, lp = scores.shape
     key_ok = mask_ref[0, 0:1, :] > 0
-    allowed = _allowed(bq, lp, qi, block_q, l_total, dec_len, key_ok)
+    allowed = _allowed(bq, lp, qi, block_q, l_total, dec_len, key_ok,
+                       seed_ref[1])
     scores = jnp.where(allowed, scores, _NEG)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
@@ -202,23 +210,26 @@ def _pick_block_q(l_p: int, block_q: int) -> int:
 
 
 def _pad_inputs(q, k, v, key_mask, block_q, pad_d: bool = False):
-    b, h, l, d = q.shape
-    l_p = _round_up(l, _LANE)
+    """Pads q rows and key rows independently: a sequence-parallel caller
+    holds an L/sp query shard against the full gathered key range."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    l_p = _round_up(lk, _LANE)
     # Mosaic accepts a block whose last dim equals the full array dim, so
     # head_dim stays unpadded by default: padding Q/K/V/O 64->128 costs an
     # HBM round-trip of every operand and measured 16.5x slower end-to-end
     # (43.9ms vs 2.7ms at B=16, L=1056) than letting Mosaic handle the
     # sub-lane-width registers internally; outputs are bit-identical
     d_p = _round_up(d, _LANE) if pad_d else d
-    block_q = _pick_block_q(l_p, block_q)
-    lq_p = _round_up(l_p, block_q)
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_p - l), (0, d_p - d)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, l_p - l), (0, d_p - d)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, l_p - l), (0, d_p - d)))
+    block_q = _pick_block_q(_round_up(lq, _LANE), block_q)
+    lq_p = _round_up(lq, block_q)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_p - lq), (0, d_p - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, l_p - lk), (0, d_p - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, l_p - lk), (0, d_p - d)))
     # [B, 1, Lp]: a (1, 1, Lp) block's sublane dim equals the array dim,
     # which Mosaic accepts (a (1, Lp) block on [B, Lp] does not)
     maskp = jnp.pad(
-        key_mask.astype(jnp.float32), ((0, 0), (0, l_p - l))
+        key_mask.astype(jnp.float32), ((0, 0), (0, l_p - lk))
     )[:, None, :]
     return qp, kp, vp, maskp, block_q, l_p, lq_p, d_p
 
@@ -230,13 +241,20 @@ def _pad_inputs(q, k, v, key_mask, block_q, pad_d: bool = False):
 )
 def flash_attention(q, k, v, key_mask, dec_len: int = 0, block_q: int = 0,
                     interpret: bool = False, dropout_rate: float = 0.0,
-                    dropout_seed=None, pad_d: bool = False):
-    """q/k/v [B,H,L,D]; key_mask [B,L] (1 = valid encoder key, decoder and
-    padding slots 0); dec_len = static trailing causal block length.
+                    dropout_seed=None, pad_d: bool = False,
+                    row_offset=None):
+    """q [B,H,Lq,D], k/v [B,H,L,D]; key_mask [B,L] (1 = valid encoder key,
+    decoder and padding slots 0); dec_len = static trailing causal block
+    length.
 
     Semantics match mha(q, k, v, prefix_lm_bias(enc_mask, dec_len)) where
     key_mask = [enc_mask, zeros(dec_len)] — see ops/masks.MaskSpec — plus
     optional attention-probs dropout (dropout_seed: int32 scalar).
+
+    Sequence-parallel callers pass an Lq = L/sp query shard with
+    row_offset = the shard's global position of q row 0 (dynamic scalar is
+    fine — it rides into SMEM), so the in-kernel prefix-LM/causal mask is
+    built against global row indices (parallel/sequence_parallel.py).
 
     Differentiable: the backward pass is a second Pallas kernel that
     recomputes probabilities (and the dropout pattern, from the same seed)
@@ -244,14 +262,20 @@ def flash_attention(q, k, v, key_mask, dec_len: int = 0, block_q: int = 0,
     """
     if dropout_seed is None:
         dropout_seed = jnp.zeros((), jnp.int32)
+    if row_offset is None:
+        row_offset = jnp.zeros((), jnp.int32)
     if dropout_rate > 0.0 and block_q <= 0:
         # the dropout pattern is seeded per (b, h, q-block): forward and
         # backward must use identical blocking, and the backward holds ~4
         # [BQ, Lp] fp32 buffers -> pick the backward-sized default for both
         block_q = _even_block_q(_round_up(q.shape[2], _LANE))
+    smem = jnp.stack([
+        jnp.asarray(dropout_seed, jnp.int32).reshape(()),
+        jnp.asarray(row_offset, jnp.int32).reshape(()),
+    ])
     return _flash_vjp(
         dec_len, block_q, interpret, float(dropout_rate), pad_d, q, k, v,
-        key_mask, jnp.asarray(dropout_seed, jnp.int32).reshape(1),
+        key_mask, smem,
     )
 
 
@@ -283,7 +307,8 @@ _flash_vjp.defvjp(_flash_fwd, _flash_bwd)
 def _flash_impl(q, k, v, key_mask, seed, dec_len: int = 0, block_q: int = 0,
                 interpret: bool = False, rate: float = 0.0,
                 pad_d: bool = True):
-    b, h, l, d = q.shape
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
     scale = 1.0 / (d ** 0.5)
     qp, kp, vp, maskp, block_q, l_p, lq_p, d_p = _pad_inputs(
         q, k, v, key_mask, block_q, pad_d
@@ -292,7 +317,7 @@ def _flash_impl(q, k, v, key_mask, seed, dec_len: int = 0, block_q: int = 0,
     grid = (b, h, lq_p // block_q)
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, block_q=block_q, l_total=l,
+            _flash_kernel, scale=scale, block_q=block_q, l_total=lk,
             dec_len=dec_len, rate=rate,
         ),
         grid=grid,
@@ -319,25 +344,26 @@ def _flash_impl(q, k, v, key_mask, seed, dec_len: int = 0, block_q: int = 0,
         ),
         interpret=interpret,
     )(seed, qp, kp, vp, maskp)
-    return out[:, :, :l, :d]
+    return out[:, :, :lq, :d]
 
 
 def _flash_bwd_impl(q, k, v, key_mask, seed, g, dec_len: int, block_q: int,
                     interpret: bool, rate: float, pad_d: bool = True):
-    b, h, l, d = q.shape
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
     scale = 1.0 / (d ** 0.5)
     # smaller default q-blocks: the backward holds ~4 [BQ, Lp] fp32 buffers
     if block_q <= 0:
-        block_q = _even_block_q(_round_up(l, _LANE))
+        block_q = _even_block_q(_round_up(lq, _LANE))
     qp, kp, vp, maskp, block_q, l_p, lq_p, d_p = _pad_inputs(
         q, k, v, key_mask, block_q, pad_d
     )
-    gp = jnp.pad(g, ((0, 0), (0, 0), (0, lq_p - l), (0, d_p - d)))
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, lq_p - lq), (0, d_p - d)))
 
     grid = (b, h, lq_p // block_q)
     dq, dk, dv = pl.pallas_call(
         functools.partial(
-            _flash_bwd_kernel, scale=scale, block_q=block_q, l_total=l,
+            _flash_bwd_kernel, scale=scale, block_q=block_q, l_total=lk,
             dec_len=dec_len, rate=rate,
         ),
         grid=grid,
@@ -373,9 +399,9 @@ def _flash_bwd_impl(q, k, v, key_mask, seed, g, dec_len: int, block_q: int,
         interpret=interpret,
     )(seed, qp, kp, vp, maskp, gp)
     return (
-        dq[:, :, :l, :d],
-        dk[:, :, :l, :d].astype(k.dtype),
-        dv[:, :, :l, :d].astype(v.dtype),
+        dq[:, :, :lq, :d],
+        dk[:, :, :lk, :d].astype(k.dtype),
+        dv[:, :, :lk, :d].astype(v.dtype),
     )
 
 

@@ -90,11 +90,29 @@ def sp_attention(
     if isinstance(bias, MaskSpec):
         key_mask, dec_len = bias.key_mask, bias.dec_len
 
+        # the flash kernel composes with SP: each shard runs its Lq = L/sp
+        # query rows against the gathered keys, with the in-kernel
+        # prefix-LM/causal mask built from the shard's global row offset
+        # (flash_attention's row_offset — a dynamic axis_index scalar)
+        from vitxtgqa_tpu.ops.attention import _PALLAS_MIN_KV, _on_tpu
+        from vitxtgqa_tpu.ops.attention import pallas_enabled
+
+        use_flash = (
+            pallas_enabled() and _on_tpu() and l >= _PALLAS_MIN_KV
+        )
+
         def local(q_s, k_s, v_s, mask_s):
             k_full = jax.lax.all_gather(k_s, axis, axis=2, tiled=True)
             v_full = jax.lax.all_gather(v_s, axis, axis=2, tiled=True)
             mask_full = jax.lax.all_gather(mask_s, axis, axis=1, tiled=True)
             offset = jax.lax.axis_index(axis) * l_local
+            if use_flash:
+                from vitxtgqa_tpu.ops.pallas_attention import flash_attention
+
+                return flash_attention(
+                    q_s, k_full, v_full, mask_full, dec_len,
+                    row_offset=offset,
+                )
             bias_local = _local_rows_bias(mask_full, dec_len, offset, l_local)
             return mha_reference(q_s, k_full, v_full, bias_local)
 
