@@ -144,3 +144,49 @@ def test_feature_readers(tmp_path):
     out = vr.read_frames("vid1", [1, 2, 99], pad_to=4)
     assert out.shape == (4, 4)
     assert (out[0] == 1).all() and (out[1] == 2).all() and (out[2] == 0).all()
+
+
+def test_dataset_stats_per_script_coverage(repo_root):
+    """tools/analysis/dataset_stats.py must emit one entry per reference
+    distribution script (tools/analysis/dataset/*.py), named identically
+    (SURVEY §2.8 row 71)."""
+    import importlib.util
+    import os
+    import subprocess
+    import sys
+
+    fixroot = os.path.join(repo_root, "tests", "fixtures", "data")
+    if not os.path.exists(os.path.join(fixroot, "vtextgqa")):
+        subprocess.run(
+            [sys.executable, os.path.join(repo_root, "tools", "make_fixtures.py"),
+             "--root", fixroot, "--feat_dim", "1024"],
+            check=True, cwd=repo_root,
+        )
+    spec = importlib.util.spec_from_file_location(
+        "dataset_stats",
+        os.path.join(repo_root, "tools", "analysis", "dataset_stats.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    stats = mod.compute_stats(fixroot, "val", "fps10_ocr_detection")
+    expected = {
+        "anno_box_distribution",
+        "anno_box_location_distribution",
+        "anno_box_ratio_distribution",
+        "anno_box_size_distribution",
+        "anno_temporal_span_distribution",
+        "anno_temporal_span_location_distribution",
+        "anno_temporal_span_ratio_distribution",
+        "ans_len_distribution",
+        "frame_number_distribution",
+        "ocr_number_distribution",
+        "sampled_grounded_frame_ratio",
+    }
+    assert expected <= set(stats["per_script"].keys())
+    # quadrant + thirds buckets account for every box / span
+    n_boxes = stats["per_script"]["anno_box_distribution"]["sum"]
+    assert sum(stats["per_script"]["anno_box_location_distribution"].values()) == n_boxes
+    n_spans = stats["per_script"]["anno_temporal_span_distribution"]["sum"]
+    assert sum(
+        stats["per_script"]["anno_temporal_span_location_distribution"].values()
+    ) == n_spans
