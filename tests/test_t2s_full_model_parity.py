@@ -606,3 +606,101 @@ def test_m4c_greedy_decode_trace_parity(refm4c, monkeypatch):
         err_msg="m4c greedy decode chose different tokens",
     )
     np.testing.assert_allclose(j_scores, t_scores, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# T5-ViteVQA baseline (reference: pythia/models/t5vitevqa.py) — full-video
+# object stream, OCR temporal/track ids, global post-hoc OCR top-k.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def reft5(refpkg):
+    import pythia.models.t5vitevqa as ref_t5
+
+    return ref_t5
+
+
+def test_t5vitevqa_train_forward_parity(reft5, monkeypatch):
+    import torch
+
+    from vitxtgqa_tpu.core.config import ConfigNode
+    from vitxtgqa_tpu.models.t5vitevqa import T5ViteVQA
+    from vitxtgqa_tpu.utils import torch_convert as TC
+    from vitxtgqa_tpu.utils.synthetic import synthetic_batch
+
+    b = 2
+    batch = synthetic_batch(batch=b, num_final_outputs=NUM_FINAL, seed=31)
+    # t5vitevqa's PostHoc is noise-free; its AttentionScore + sort come
+    # from its own module copy — same determinism patches as m4c
+    _patch_m4c_determinism(monkeypatch, reft5)
+    import vitxtgqa_tpu.models.t5vitevqa as T5MOD
+    import vitxtgqa_tpu.models.posthoc as PH
+
+    monkeypatch.setattr(T5MOD, "attention_score", PH.attention_score)
+
+    from vitxtgqa_tpu.core.config import build_config
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_node = build_config(
+        os.path.join(root, "configs", "t5vitevqa_abinet.yml")
+    ).model_attributes.t5vitevqa
+
+    def plain(node):
+        if hasattr(node, "items"):
+            return {k: plain(v) for k, v in node.items()}
+        return node
+
+    cfg = plain(cfg_node)
+    cfg["text_bert_init_from_bert_base"] = False
+    _zero_dropout(cfg)
+    for sect in ("text_bert", "translayers", "encoder", "mmt"):
+        cfg.setdefault(sect, {})
+        cfg[sect]["hidden_dropout_prob"] = 0.0
+        cfg[sect]["attention_probs_dropout_prob"] = 0.0
+
+    torch.manual_seed(2)
+    tmodel = reft5.T5VITEVQA(ConfigNode(cfg))
+    tmodel.build()
+    tmodel = tmodel.float().train()
+
+    jmodel = T5ViteVQA(
+        config=ConfigNode(cfg), num_final_outputs=NUM_FINAL, bos_idx=2,
+        compute_dtype=jnp.float32,
+    )
+    variables = jax.eval_shape(
+        lambda: jmodel.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            batch, train=True,
+        )
+    )
+    params = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), variables["params"]
+    )
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    flat = TC.convert_t2s_like(
+        sd,
+        text_layers=int(cfg["text_bert"]["num_hidden_layers"]),
+        mmt_layers=int(cfg["mmt"]["num_hidden_layers"]),
+        has_qtv=False, has_grounding=False, has_posthoc=True,
+    )
+    params = TC.convert_into_params(flat, params, strict=True)
+
+    sl = _torch_sample_list(batch)
+    with torch.no_grad():
+        tout = tmodel.forward(sl)
+    jout = jmodel.apply(
+        {"params": params},
+        {k: jnp.asarray(v) for k, v in batch.items()},
+        train=True, rngs={"dropout": jax.random.key(7)},
+    )
+
+    np.testing.assert_array_equal(
+        np.asarray(jout["ground_frame"]), tout["ground_frame"].numpy()
+    )
+    np.testing.assert_allclose(
+        np.asarray(jout["ground_box"]), tout["ground_box"].numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jout["pos_scores"]), tout["pos_scores"].numpy(), atol=2e-3,
+        err_msg="t5vitevqa pos_scores diverged",
+    )
