@@ -59,3 +59,61 @@ def test_pipeline_encoder_matches_sequential(n_stages, n_micro):
         )
     )
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_set_pipeline_encoder_hook_matches_sequential():
+    """The trainer-facing global switch: with set_pipeline active on a
+    dp x pp mesh, TransformerEncoder.__call__ itself routes through the
+    GPipe schedule and reproduces the sequential stack."""
+    from vitxtgqa_tpu.models.common import set_pipeline
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices (2 data x 2 pp)")
+    mesh = Mesh(
+        np.array(jax.devices()[:4]).reshape(2, 2), ("data", "pp")
+    )
+    cfg = TransformerConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    enc = TransformerEncoder(cfg)
+    b, lenc, dec = 4, 26, 6
+    x = jax.random.normal(jax.random.key(0), (b, lenc + dec, 32))
+    enc_mask = jnp.ones((b, lenc), jnp.float32)
+    spec = joint_mask_spec(enc_mask, dec)
+    params = enc.init(jax.random.key(2), x, spec)["params"]
+    want = np.asarray(enc.apply({"params": params}, x, spec))
+    set_pipeline(mesh, "pp")
+    try:
+        got = np.asarray(jax.jit(
+            lambda p, x: enc.apply({"params": p}, x, spec)
+        )(params, x))
+    finally:
+        set_pipeline(None)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_set_pipeline_skips_indivisible_stacks():
+    """A 3-layer stack on 2 stages silently keeps the sequential path."""
+    from vitxtgqa_tpu.models.common import set_pipeline
+
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 devices")
+    mesh = _mesh(2)
+    cfg = TransformerConfig(
+        hidden_size=32, num_hidden_layers=3, num_attention_heads=4,
+        intermediate_size=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    enc = TransformerEncoder(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 16, 32))
+    spec = joint_mask_spec(jnp.ones((2, 16), jnp.float32), 0)
+    params = enc.init(jax.random.key(2), x, spec)["params"]
+    want = np.asarray(enc.apply({"params": params}, x, spec))
+    set_pipeline(mesh, "pp")
+    try:
+        got = np.asarray(enc.apply({"params": params}, x, spec))
+    finally:
+        set_pipeline(None)
+    np.testing.assert_allclose(got, want, atol=1e-6)

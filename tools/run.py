@@ -27,6 +27,16 @@ def run(argv=None):
                        config_override=args.config_override)
     registry.register("config", cfg)
 
+    # honour `training_parameters.device: cpu` (the reference's cpu
+    # fallback, configuration.py:309-346): force the JAX platform before
+    # any device is touched.  Needed explicitly on images whose
+    # sitecustomize pre-registers an accelerator plugin — the
+    # JAX_PLATFORMS env var alone does not win there.
+    if str(getattr(cfg.training_parameters, "device", "auto")) == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     trainer_cls = registry.get_trainer_class(
         getattr(cfg.training_parameters, "trainer", "base_trainer")
     )

@@ -150,6 +150,22 @@ class TransformerLayer(nn.Module):
 
 _GLOBAL_REMAT = False
 _GLOBAL_KV_INT8 = False
+_GLOBAL_PP = (None, "pp", 0)  # (mesh, axis, num_microbatches)
+
+
+def set_pipeline(mesh, axis: str = "pp", num_microbatches: int = 0) -> None:
+    """Pipeline-parallel switch (config: training_parameters.tpu.mesh.pp):
+    every TransformerEncoder whose layer count divides the stage count runs
+    its full-sequence forward through the GPipe schedule
+    (parallel/pipeline.py) with layers sharded over the `pp` mesh axis.
+
+    Applies to the training/teacher-forced path (__call__); the KV-cached
+    decode methods keep the single-stage layout (the 12-slot decode loop is
+    latency-bound — a pipeline bubble would dominate).  Set BEFORE the step
+    is compiled (trace-time flag, like set_remat).  Pass mesh=None to
+    disable."""
+    global _GLOBAL_PP
+    _GLOBAL_PP = (mesh, axis, int(num_microbatches))
 
 
 def set_kv_cache_int8(enabled: bool) -> None:
@@ -193,7 +209,36 @@ class TransformerEncoder(nn.Module):
             for i in range(self.cfg.num_hidden_layers)
         ]
 
+    def _pp_eligible(self, deterministic: bool) -> bool:
+        mesh, axis, _ = _GLOBAL_PP
+        return (
+            mesh is not None
+            and not self.is_initializing()
+            and self.cfg.num_hidden_layers % mesh.shape[axis] == 0
+            # dropout rngs don't thread through the pipeline payload;
+            # PP trains with deterministic layers or eval passes
+            and (
+                deterministic
+                or (
+                    self.cfg.hidden_dropout_prob == 0.0
+                    and self.cfg.attention_probs_dropout_prob == 0.0
+                )
+            )
+        )
+
     def __call__(self, x, bias, deterministic: bool = True):
+        if self._pp_eligible(deterministic):
+            from vitxtgqa_tpu.ops.masks import MaskSpec
+            from vitxtgqa_tpu.parallel.pipeline import pipeline_encoder_apply
+
+            mesh, axis, n_micro = _GLOBAL_PP
+            bias_t = bias.to_bias() if isinstance(bias, MaskSpec) else bias
+            layer_params = [
+                layer.variables["params"] for layer in self.layers
+            ]
+            return pipeline_encoder_apply(
+                self.cfg, layer_params, x, bias_t, mesh, axis, n_micro
+            )
         if _GLOBAL_REMAT:
             for layer in self.layers:
                 x = nn.remat(

@@ -25,28 +25,39 @@ def build_mesh(
     data: int = -1,
     model: int = 1,
     sp: int = 1,
+    pp: int = 1,
     devices: Optional[Sequence[Any]] = None,
     batch_size: Optional[int] = None,
 ) -> Mesh:
-    """Build a (data, model[, sp]) mesh.  When `batch_size` is given, the
-    data axis shrinks to the largest divisor of the batch size (a mesh may
-    use a subset of devices; better some idle chips than a shard error).
+    """Build a (data, model[, sp][, pp]) mesh.  When `batch_size` is given,
+    the data axis shrinks to the largest divisor of the batch size (a mesh
+    may use a subset of devices; better some idle chips than a shard error).
     An `sp` axis > 1 adds sequence parallelism (consumed by
-    ops.attention.set_sequence_parallel)."""
+    ops.attention.set_sequence_parallel); a `pp` axis > 1 adds GPipe
+    pipeline stages over transformer layers (models.common.set_pipeline)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % (model * sp) == 0, (n, model, sp)
-        data = n // (model * sp)
+        assert n % (model * sp * pp) == 0, (n, model, sp, pp)
+        data = n // (model * sp * pp)
     if batch_size is not None:
         while data > 1 and batch_size % data != 0:
             data -= 1
-    assert data * model * sp <= n, f"mesh {data}x{model}x{sp} > {n} devices"
+    assert data * model * sp * pp <= n, (
+        f"mesh {data}x{model}x{sp}x{pp} > {n} devices"
+    )
+    shape, names = [data, model], ["data", "model"]
     if sp > 1:
-        arr = np.array(devices[: data * model * sp]).reshape(data, model, sp)
-        return Mesh(arr, ("data", "model", "sp"))
-    arr = np.array(devices[: data * model]).reshape(data, model)
-    return Mesh(arr, ("data", "model"))
+        shape.append(sp)
+        names.append("sp")
+    if pp > 1:
+        shape.append(pp)
+        names.append("pp")
+    used = 1
+    for s in shape:
+        used *= s
+    arr = np.array(devices[:used]).reshape(shape)
+    return Mesh(arr, tuple(names))
 
 
 # path-regex -> PartitionSpec for the weight's dimensions.

@@ -108,6 +108,9 @@ def gpipe(
         mesh=mesh,
         in_specs=(stage_spec, payload_spec),
         out_specs=payload_spec,
+        # only `pp` is manual: other mesh axes (data/model/sp) stay auto so
+        # the schedule composes with a dp×pp trainer mesh
+        axis_names={axis},
     )
     out_mb = mapped(stacked_params, payload_mb)
     return jax.tree.map(
@@ -138,7 +141,10 @@ def pipeline_encoder_apply(
     assert n_layers % n_stages == 0, (n_layers, n_stages)
     per_stage = n_layers // n_stages
 
-    layer = TransformerLayer(cfg)
+    # parent=None keeps this a detached module: pipeline_encoder_apply may
+    # run inside a bound TransformerEncoder (the set_pipeline hook), where
+    # a plain constructor would trip flax's submodule registration
+    layer = TransformerLayer(cfg, parent=None)
     stage_trees = [
         {f"sub_{j}": layer_params[s * per_stage + j] for j in range(per_stage)}
         for s in range(n_stages)

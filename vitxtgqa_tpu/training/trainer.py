@@ -254,8 +254,9 @@ class BaseTrainer:
         data_ax = int(getattr(mesh_cfg, "data", -1)) if mesh_cfg else -1
         model_ax = int(getattr(mesh_cfg, "model", 1)) if mesh_cfg else 1
         sp_ax = int(getattr(mesh_cfg, "sp", 1)) if mesh_cfg else 1
+        pp_ax = int(getattr(mesh_cfg, "pp", 1)) if mesh_cfg else 1
         self.mesh = build_mesh(
-            data=data_ax, model=model_ax, sp=sp_ax,
+            data=data_ax, model=model_ax, sp=sp_ax, pp=pp_ax,
             batch_size=int(tp.batch_size),
         )
         if sp_ax > 1:
@@ -264,6 +265,17 @@ class BaseTrainer:
             set_sequence_parallel(self.mesh, "sp")
             self.logger.write(
                 f"sequence parallelism over {sp_ax} shards enabled"
+            )
+        if pp_ax > 1:
+            from vitxtgqa_tpu.models.common import set_pipeline
+
+            set_pipeline(
+                self.mesh, "pp",
+                int(getattr(tpu_cfg, "pp_microbatches", 0)),
+            )
+            self.logger.write(
+                f"GPipe pipeline over {pp_ax} stages enabled (stacks whose "
+                "layer count divides the stage count)"
             )
         self.logger.write(f"mesh: {dict(self.mesh.shape)}")
 
@@ -512,6 +524,12 @@ class BaseTrainer:
     def _snapshot(self) -> bool:
         """Full validation + early stopping + checkpoint
         (reference: base_trainer.py:363-392).  Returns True to stop."""
+        if getattr(self.tp, "log_histograms", False):
+            # per-parameter histogram channel (reference logger capability,
+            # logger.py:133-141; opt-in here — it reads every param to host)
+            self.logger.add_histograms_for_params(
+                jax.device_get(self.params), self.iteration
+            )
         if "val" not in self.loaders:
             self.checkpoint.save(
                 self._state(), self.iteration, update_best=True,

@@ -62,3 +62,39 @@ class Logger:
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, v, step)
+
+    def add_histograms_for_params(self, params: Any, step: int):
+        """Per-parameter histograms (reference: logger.py:133-141
+        add_histogram_for_model).  `params` is a flax param pytree; names
+        are the /-joined tree paths.  TensorBoard gets real histograms when
+        attached; the JSONL stream always records a compact 10-bin summary
+        per parameter so the channel exists without tensorboard too."""
+        if not self.should_log:
+            return
+        import numpy as np
+
+        flat: Dict[str, Any] = {}
+
+        def walk(node, prefix=""):
+            if isinstance(node, dict) or hasattr(node, "items"):
+                for k, v in node.items():
+                    walk(v, f"{prefix}/{k}" if prefix else k)
+            else:
+                flat[prefix] = np.asarray(node)
+
+        walk(params)
+        hist_file = os.path.join(self.save_dir, "histograms.jsonl")
+        with open(hist_file, "a") as f:
+            for name, arr in flat.items():
+                counts, edges = np.histogram(
+                    arr.astype("float32").ravel(), bins=10
+                )
+                f.write(json.dumps({
+                    "step": int(step), "param": name,
+                    "mean": float(arr.mean()), "std": float(arr.std()),
+                    "counts": counts.tolist(),
+                    "edges": [float(e) for e in edges],
+                }) + "\n")
+        if self._tb is not None:
+            for name, arr in flat.items():
+                self._tb.add_histogram(name, arr, step)
