@@ -139,14 +139,22 @@ class T2S(JointQAModel):
                    deterministic: bool):
         """Joint self-attention; tanh residual back to each stream
         (reference: t2s.py:384-432)."""
-        x = jnp.concatenate([txt_emb, obj_in, ocr_in], axis=1)
-        mask = jnp.concatenate([txt_mask, obj_mask, ocr_mask], axis=1)
         # lane-align the row count so the flash kernel pads nothing (padded
-        # rows are masked; their outputs are sliced away below)
-        pad = (-x.shape[1]) % 128
+        # rows are masked; their outputs are sliced away below); the zero
+        # rows ride in the same concatenate — a separate jnp.pad costs a
+        # full extra HBM pass over the joint sequence
+        l0 = txt_emb.shape[1] + obj_in.shape[1] + ocr_in.shape[1]
+        pad = (-l0) % 128
+        pieces = [txt_emb, obj_in, ocr_in]
+        mask = jnp.concatenate([txt_mask, obj_mask, ocr_mask], axis=1)
         if pad:
-            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            pieces.append(
+                jnp.zeros(
+                    (txt_emb.shape[0], pad, txt_emb.shape[2]), txt_emb.dtype
+                )
+            )
             mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        x = jnp.concatenate(pieces, axis=1)
         h = self.qtv(x, MaskSpec(key_mask=mask), deterministic)
         lt, lo = txt_emb.shape[1], obj_in.shape[1]
         txt_emb = txt_emb + jnp.tanh(h[:, :lt])
@@ -229,6 +237,49 @@ class T2S(JointQAModel):
                 **common,
             }
 
+        if not train and not self.decode_recompute:
+            # full-eval fast path: only the pos variant drives the greedy
+            # argmax (reference: t2s.py:315-354 — every iteration feeds
+            # pos_scores' argmax to ALL three variants), and greedy decode
+            # stabilises position-wise (the invariant the KV-cache redesign
+            # rests on, verified by the full-model decode-trace parity
+            # test).  So ref/neg never need the 12-step loop: decode the
+            # pos variant alone, then score ref+neg in ONE teacher-forced
+            # pass on the decoded tokens.  Saves the decode loop on 2/3 of
+            # the fold and drops peak activations from 3B to 2B sequences
+            # (the batch-384 full-eval OOM headroom).
+            enc_mask_pos = jnp.concatenate(
+                [txt_mask, g["pos_obj_mask"], g["pos_ocr_mask"]], axis=1
+            )
+            dec_len = batch["train_prev_inds"].shape[1]
+            pos = self._greedy_decode(
+                txt_emb, obj_in, ocr_in, enc_mask_pos, g["pos_ocr_mask"],
+                dec_len,
+            )
+            chosen = jnp.argmax(pos, axis=-1)  # [B, S]
+            prev = jnp.concatenate(
+                [
+                    jnp.full((pos.shape[0], 1), self.bos_idx, jnp.int32),
+                    chosen[:, :-1].astype(jnp.int32),
+                ],
+                axis=1,
+            )
+            tile2 = lambda x: jnp.concatenate([x, x], axis=0)
+            obj_masks2 = jnp.concatenate([obj_mask, g["neg_obj_mask"]], axis=0)
+            ocr_masks2 = jnp.concatenate([ocr_mask, g["neg_ocr_mask"]], axis=0)
+            enc_mask2 = jnp.concatenate(
+                [tile2(txt_mask), obj_masks2, ocr_masks2], axis=1
+            )
+            scores2 = self._mmt_full(
+                tile2(txt_emb), tile2(obj_in), tile2(ocr_in), enc_mask2,
+                ocr_masks2, tile2(prev), deterministic=True,
+            )
+            ref, neg = jnp.split(scores2, 2, axis=0)
+            return {
+                "ref_scores": ref, "pos_scores": pos, "neg_scores": neg,
+                **common,
+            }
+
         # fold the 3 contrastive variants into the batch dim: [ref; pos; neg]
         b = txt_emb.shape[0]
         obj_masks = jnp.concatenate(
@@ -250,11 +301,7 @@ class T2S(JointQAModel):
             )
         else:
             dec_len = batch["train_prev_inds"].shape[1]
-            decode = (
-                self._recompute_decode if self.decode_recompute
-                else self._greedy_decode
-            )
-            scores3 = decode(
+            scores3 = self._recompute_decode(
                 txt3, obj3, ocr3, enc_mask3, ocr_masks, dec_len,
                 n_variants=3, argmax_variant=1,
             )

