@@ -127,12 +127,18 @@ def _run_once(batch_size: int, use_pallas: bool):
             {"params": params}, batch, train=False,
             rngs={"gumbel": jax.random.key(seed)},
         )
-        # scalar digest over every output: timing below forces its D2H, so
+        # scalar digest over EVERY output: timing below forces its D2H, so
         # the device must have finished the whole step (block_until_ready on
-        # the experimental tunnel backend is not trusted as a fence)
+        # the experimental tunnel backend is not trusted as a fence).  All
+        # score tensors must feed the digest — the full-eval ref/neg pass
+        # is separable from pos_scores and XLA dead-code-eliminates any
+        # output the digest doesn't consume.
         digest = out["pos_scores"].astype(jnp.float32).sum() + out[
             "ground_frame"
         ].sum().astype(jnp.float32)
+        for key in ("ref_scores", "neg_scores"):
+            if key in out:
+                digest = digest + out[key].astype(jnp.float32).sum()
         return digest
 
     dev_batch = jax.device_put(batch)

@@ -109,3 +109,39 @@ def test_encoder_sequence_parallel_global_switch():
     finally:
         set_sequence_parallel(None)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sp_attention_flash_kernel_integration(monkeypatch):
+    """The TPU fast path end to end on CPU: force the flash branch (gates
+    patched, kernel in interpret mode) under the real shard_map — all-
+    gathered K/V + dynamic row_offset must reproduce unsharded attention."""
+    import functools
+
+    from vitxtgqa_tpu.ops import pallas_attention as PA
+    from vitxtgqa_tpu.ops.masks import joint_mask_spec, prefix_lm_bias
+    import vitxtgqa_tpu.parallel.sequence_parallel as SP
+    import vitxtgqa_tpu.ops.attention as A
+
+    if jax.device_count() < 4:
+        pytest.skip("not enough devices")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+
+    monkeypatch.setattr(A, "_on_tpu", lambda: True)
+    monkeypatch.setattr(A, "pallas_enabled", lambda use_pallas=False: True)
+    monkeypatch.setattr(A, "_PALLAS_MIN_KV", 0)
+    monkeypatch.setattr(
+        PA, "flash_attention",
+        functools.partial(PA.flash_attention, interpret=True),
+    )
+
+    b, h, lenc, dec = 2, 2, 122, 6
+    l = lenc + dec  # 128, divisible by 4
+    r = jax.random.split(jax.random.key(5), 3)
+    q, k, v = (jax.random.normal(key, (b, h, l, 16)) for key in r)
+    enc_mask = (jnp.arange(lenc)[None, :] < jnp.asarray([[90], [122]])).astype(
+        jnp.float32
+    )
+    spec = joint_mask_spec(enc_mask, dec)
+    want = np.asarray(mha_reference(q, k, v, prefix_lm_bias(enc_mask, dec)))
+    got = np.asarray(sp_attention(q, k, v, spec, mesh))
+    np.testing.assert_allclose(got, want, atol=2e-5)

@@ -6,11 +6,15 @@ TPU-native re-design of the reference flagship model
   * the three contrastive mask variants (ref/pos/neg) fold into one 3B
     batched joint-transformer call instead of three sequential MMT passes
     (reference: t2s.py:288-313);
-  * eval greedy decoding encodes the 1044-token prefix once per variant and
-    runs a 12-step lax.scan with per-layer KV caches, instead of re-running
-    the full MMT 12x3 times (reference: t2s.py:315-354) — identical results
-    because encoder rows never attend to decoder slots, so decoder position t
-    depends only on tokens chosen before t;
+  * eval greedy decoding encodes the prefix once and runs a 12-step
+    lax.scan with per-layer KV caches, instead of re-running the full MMT
+    12x3 times (reference: t2s.py:315-354) — identical results because
+    encoder rows never attend to decoder slots, so decoder position t
+    depends only on tokens chosen before t.  Further: only pos_scores
+    drives the argmax, so the ref/neg variants skip the decode loop
+    entirely — one teacher-forced pass on the decoded token prefix
+    (verified against the reference's own loop in
+    tests/test_t2s_full_model_parity.py);
   * all grounding index plumbing is static-shape (see models/grounding.py).
 
 Registered under "t2s"; config schema matches configs/t2s_abinet.yml.
@@ -281,7 +285,6 @@ class T2S(JointQAModel):
             }
 
         # fold the 3 contrastive variants into the batch dim: [ref; pos; neg]
-        b = txt_emb.shape[0]
         obj_masks = jnp.concatenate(
             [obj_mask, g["pos_obj_mask"], g["neg_obj_mask"]], axis=0
         )

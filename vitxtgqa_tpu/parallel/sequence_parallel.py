@@ -122,6 +122,9 @@ def sp_attention(
             in_specs=(spec, spec, spec, P(None, axis)),
             out_specs=spec,
             axis_names={axis},  # other mesh axes (data/model) stay auto
+            # pallas_call's out_shape carries no varying-mesh-axes (vma)
+            # annotation; the explicit specs above make the check redundant
+            check_vma=False,
         )
         return mapped(q, k, v, key_mask.astype(jnp.float32))
 
