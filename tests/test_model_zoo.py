@@ -114,3 +114,47 @@ def test_registry_has_all_models():
 
     for key in ("t2s", "t2s_wo_tg", "t2s_wo_sg", "m4c", "t5vitevqa", "gt_box"):
         assert key in registry.list("model"), key
+
+
+@pytest.mark.parametrize("model_key", ["t2s", "t2s_wo_tg", "t2s_wo_sg"])
+def test_eval_fast_path_matches_recompute_oracle(model_key):
+    """The teacher-forced ref/neg eval path must equal the reference-style
+    full-recompute loop (decode_recompute=True) for the base model AND the
+    grounding ablations, under identical weights and gumbel noise."""
+    from vitxtgqa_tpu.models.t2s import T2S
+    from vitxtgqa_tpu.models.t2s_ablations import (
+        T2SWithoutSpatialGrounding,
+        T2SWithoutTemporalGrounding,
+    )
+
+    model_cls = {
+        "t2s": T2S,
+        "t2s_wo_tg": T2SWithoutTemporalGrounding,
+        "t2s_wo_sg": T2SWithoutSpatialGrounding,
+    }[model_key]
+    batch = _batch()
+    cfg = tiny_model_config(hidden=HID, frames=FRAMES, ocr_per_frame=OPF)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "gumbel": jax.random.key(2)}
+
+    fast = model_cls(config=cfg, num_final_outputs=NUM_FINAL, bos_idx=2)
+    variables = fast.init(rngs, batch, train=True)
+    out_fast = fast.apply(
+        variables, batch, train=False, rngs={"gumbel": jax.random.key(9)}
+    )
+    oracle = model_cls(
+        config=cfg, num_final_outputs=NUM_FINAL, bos_idx=2,
+        decode_recompute=True,
+    )
+    out_oracle = oracle.apply(
+        variables, batch, train=False, rngs={"gumbel": jax.random.key(9)}
+    )
+    for key in ("pos_scores", "ref_scores", "neg_scores"):
+        np.testing.assert_allclose(
+            np.asarray(out_fast[key]), np.asarray(out_oracle[key]),
+            atol=2e-4, err_msg=f"{model_key}: {key}",
+        )
+    np.testing.assert_array_equal(
+        np.asarray(out_fast["ground_frame"]),
+        np.asarray(out_oracle["ground_frame"]),
+    )
