@@ -53,3 +53,10 @@ def test_remat_encode_with_cache_path():
         assert h.shape == (2, 8, 32) and len(kvs) == 1
     finally:
         C.set_remat(False)
+
+
+def test_remat_dots_policy_grads_match():
+    p1, g1 = _grads(False)
+    p2, g2 = _grads("dots")
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -47,7 +47,9 @@ def main():
     if USE_REMAT:
         from vitxtgqa_tpu.models.common import set_remat
 
-        set_remat(True)
+        # BENCH_REMAT=dots selects the dots_saveable policy A/B
+        mode = os.environ.get("BENCH_REMAT", "1")
+        set_remat("dots" if mode == "dots" else True)
 
     cfg = build_config(
         os.path.join(os.path.dirname(os.path.dirname(

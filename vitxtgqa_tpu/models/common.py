@@ -187,12 +187,23 @@ def kv_cache_int8_enabled() -> bool:
     return _GLOBAL_KV_INT8
 
 
-def set_remat(enabled: bool) -> None:
+def set_remat(enabled) -> None:
     """Rematerialise transformer layers in the backward pass (config:
-    training_parameters.tpu.remat) — trades ~1/3 extra FLOPs for dropping
-    per-layer activations from HBM."""
+    training_parameters.tpu.remat) — trades extra FLOPs for dropping
+    per-layer activations from HBM.
+
+    Accepts False/"none" (off), True/"full" (recompute everything — lowest
+    memory), or "dots" (jax.checkpoint_policies.dots_saveable: matmul
+    outputs stay resident, only the cheap elementwise/softmax work
+    recomputes — less recompute, more memory; the right trade at the
+    reference's batch 48)."""
     global _GLOBAL_REMAT
-    _GLOBAL_REMAT = bool(enabled)
+    if isinstance(enabled, str):
+        mode = enabled.lower()
+        _GLOBAL_REMAT = {"none": False, "false": False,
+                         "full": True, "true": True}.get(mode, mode)
+    else:
+        _GLOBAL_REMAT = bool(enabled)
 
 
 class TransformerEncoder(nn.Module):
@@ -240,9 +251,12 @@ class TransformerEncoder(nn.Module):
                 self.cfg, layer_params, x, bias_t, mesh, axis, n_micro
             )
         if _GLOBAL_REMAT:
+            kwargs = {}
+            if _GLOBAL_REMAT == "dots":
+                kwargs["policy"] = jax.checkpoint_policies.dots_saveable
             for layer in self.layers:
                 x = nn.remat(
-                    TransformerLayer.__call__, static_argnums=(3,)
+                    TransformerLayer.__call__, static_argnums=(3,), **kwargs
                 )(layer, x, bias, deterministic)
         else:
             for layer in self.layers:

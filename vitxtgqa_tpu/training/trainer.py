@@ -247,8 +247,10 @@ class BaseTrainer:
         if remat_mode not in ("none", "None", "false", "False"):
             from vitxtgqa_tpu.models.common import set_remat
 
-            set_remat(True)
-            self.logger.write("transformer-layer rematerialisation enabled")
+            set_remat(remat_mode)
+            self.logger.write(
+                f"transformer-layer rematerialisation enabled ({remat_mode})"
+            )
 
         mesh_cfg = getattr(tpu_cfg, "mesh", None) if tpu_cfg else None
         data_ax = int(getattr(mesh_cfg, "data", -1)) if mesh_cfg else -1
