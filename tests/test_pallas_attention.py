@@ -554,6 +554,54 @@ def test_decode_mha_int8_fallback_matches_dequantized():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_flash_merged_q8_matches_separate_quantize():
+    """The fused int8-cache emission bit-matches quantize_kv on the same
+    K/V, and the attention output matches the plain merged kernel."""
+    from vitxtgqa_tpu.ops.attention import quantize_kv
+    from vitxtgqa_tpu.ops.pallas_attention import (
+        flash_attention_merged,
+        flash_attention_merged_q8,
+    )
+
+    b, l, h, d = 2, 256, 4, 16
+    r = jax.random.split(jax.random.key(11), 4)
+    q = jax.random.normal(r[0], (b, l, h * d))
+    k = jax.random.normal(r[1], (b, l, h * d))
+    v = jax.random.normal(r[2], (b, l, h * d))
+    mask = (jax.random.uniform(r[3], (b, l)) > 0.2).astype(jnp.float32)
+    out, (k8, ks), (v8, vs) = flash_attention_merged_q8(
+        q, k, v, mask, dec_len=8, num_heads=h, interpret=True
+    )
+    want = flash_attention_merged(q, k, v, mask, dec_len=8, num_heads=h,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+    wk8, wks = quantize_kv(k)
+    wv8, wvs = quantize_kv(v)
+    np.testing.assert_array_equal(np.asarray(k8), np.asarray(wk8))
+    np.testing.assert_array_equal(np.asarray(v8), np.asarray(wv8))
+    np.testing.assert_allclose(np.asarray(ks), np.asarray(wks), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(wvs), rtol=1e-6)
+
+
+def test_ptr_scores_int8_matches_dequantized():
+    from vitxtgqa_tpu.ops.attention import dequantize_kv, quantize_kv
+    from vitxtgqa_tpu.ops.pallas_attention import ptr_scores_int8
+
+    r = jax.random.split(jax.random.key(7), 3)
+    q = jax.random.normal(r[0], (2, 1, 64))
+    k = jax.random.normal(r[1], (2, 70, 64))
+    mask = (jax.random.uniform(r[2], (2, 70)) > 0.3).astype(jnp.float32)
+    k8, ks = quantize_kv(k)
+    got = ptr_scores_int8(q, k8, ks, mask, interpret=True)
+    want = jnp.einsum(
+        "bsd,bnd->bsn", q, dequantize_kv(k8, ks),
+        preferred_element_type=jnp.float32,
+    ) / jnp.sqrt(64.0) + mask[:, None, :]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+    )
+
+
 def test_greedy_decode_int8_argmax_stability():
     """Model-level: int8 cache greedy decode picks the same tokens as the
     fp cache on a small trained-scale example (CPU fallback path)."""

@@ -166,3 +166,38 @@ def test_loss_and_grads_finite(model_and_vars):
         for g in jax.tree_util.tree_leaves(grads["grounding"])
     )
     assert gnorm == 0
+
+
+def test_split_dense_matches_concat_dense():
+    """split_dense + inv_l2_norm reproduce dense(concat(l2norm(a), b))
+    without materialising the concat (models/base.py helpers used by
+    T2S._encode_modalities)."""
+    from flax import linen as nn
+
+    from vitxtgqa_tpu.models.base import inv_l2_norm, l2_normalize, split_dense
+
+    class Mod(nn.Module):
+        @nn.compact
+        def __call__(self, a, b, naive: bool):
+            dense = nn.Dense(32, name="proj")
+            if naive:
+                return dense(jnp.concatenate([l2_normalize(a), b], axis=-1))
+            return split_dense(
+                dense, [a, b], [inv_l2_norm(a), None], a.dtype
+            )
+
+    r = jax.random.split(jax.random.key(3), 2)
+    a = jax.random.normal(r[0], (2, 7, 24))
+    b = jax.random.normal(r[1], (2, 7, 8))
+    mod = Mod()
+    variables = mod.init(jax.random.key(0), a, b, True)
+    want = mod.apply(variables, a, b, True)
+    got = mod.apply(variables, a, b, False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+    # grads flow through the split path into the shared kernel
+    g = jax.grad(
+        lambda v: mod.apply(v, a, b, False).sum()
+    )(variables)["params"]["proj"]["kernel"]
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0

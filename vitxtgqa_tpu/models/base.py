@@ -31,6 +31,69 @@ def l2_normalize(x, axis=-1, eps=1e-12):
     return x / jnp.maximum(norm, eps)
 
 
+def inv_l2_norm(x, eps=1e-12):
+    """f32 reciprocal row norms 1 / max(||x||, eps), shape [..., 1].
+
+    ``l2_normalize(x) @ W == (x @ W) * inv_l2_norm(x)``: the per-row scale
+    commutes through the matmul, so callers can skip materialising the
+    normalised copy of a large feature tensor (and the division runs in
+    f32 on the accumulated product instead of bf16 on the input)."""
+    sumsq = jnp.sum(
+        jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True
+    )
+    return 1.0 / jnp.maximum(jnp.sqrt(sumsq), eps)
+
+
+def split_dense(dense, parts, scales, out_dtype):
+    """``dense(concat(parts, -1))`` without materialising the concat.
+
+    Slices the kernel row-wise per part and sums the partial products in
+    f32; ``scales[i]`` (or None) is a per-row multiplier commuted through
+    the matmul (see inv_l2_norm).  The [B, N, sum(d_i)] concat buffer of
+    the naive form — 1.44 GB at T2S production dims — never exists.
+    Caller must have created ``dense``'s params (gate on is_initializing).
+    """
+    p = dense.variables["params"]
+    w = p["kernel"]
+    acc = None
+    off = 0
+    for part, s in zip(parts, scales):
+        d = part.shape[-1]
+        wi = w[off : off + d].astype(part.dtype)
+        y = jnp.einsum(
+            "...d,dh->...h", part, wi, preferred_element_type=jnp.float32
+        )
+        if s is not None:
+            y = y * s
+        acc = y if acc is None else acc + y
+        off += d
+    assert off == w.shape[0], (off, w.shape)
+    return (acc + p["bias"].astype(jnp.float32)).astype(out_dtype)
+
+
+def project_features(dense, parts, normalize, out_dtype, is_init: bool):
+    """``dense(concat([l2_normalize(p) if n else p, ...], -1))`` — the
+    modality input-projection idiom shared by every model in the zoo
+    (reference: t2s.py:203-258, m4c.py:185-230, ...).
+
+    At init the naive form runs (creating ``dense``'s params with the
+    standard concat geometry); afterwards the call lowers to split_dense
+    with the l2 scales commuted through the matmul, so neither the
+    [B, N, sum(d_i)] concat buffer nor the normalised feature copies are
+    ever materialised."""
+    if is_init:
+        cat = jnp.concatenate(
+            [l2_normalize(p) if n else p for p, n in zip(parts, normalize)],
+            axis=-1,
+        )
+        return dense(cat)
+    return split_dense(
+        dense, parts,
+        [inv_l2_norm(p) if n else None for p, n in zip(parts, normalize)],
+        out_dtype,
+    )
+
+
 class JointQAModel(nn.Module):
     """Mixin-style base: subclasses must create in setup():
     self.mmt (TransformerEncoder), self.prev_pred_embeddings,
@@ -78,8 +141,16 @@ class JointQAModel(nn.Module):
         return self._scores(dec_out, ocr_out, ocr_masks)
 
     def _greedy_decode(self, txt, obj, ocr, enc_mask, ocr_masks, dec_len: int,
-                       n_variants: int = 1, argmax_variant: int = 0):
-        """Encode once, then KV-cached greedy lax.scan (eval path)."""
+                       n_variants: int = 1, argmax_variant: int = 0,
+                       joint=None):
+        """Encode once, then KV-cached greedy lax.scan (eval path).
+
+        ``joint``, when given, is the pre-built lane-aligned sequence
+        [txt | obj | ocr | pad+dec zeros-or-garbage rows] — e.g. the QTV
+        residual buffer (T2S._apply_qtv) — so the concatenate below never
+        re-materialises it (~5.4 ms/step at batch 576).  Rows past l0 may
+        hold arbitrary finite values: they are masked everywhere and the
+        decoder overwrites their cache slots."""
         bN = txt.shape[0]
         b = bN // n_variants
         l0 = txt.shape[1] + obj.shape[1] + ocr.shape[1]
@@ -88,7 +159,9 @@ class JointQAModel(nn.Module):
         # the per-layer K/V come out cache-sized, and decode overwrites the
         # trailing dec_len slots in place.  The zero rows ride in the same
         # concatenate — a separate jnp.pad re-reads the joint sequence
-        if pad or dec_len:
+        if joint is not None and joint.shape[1] == l0 + pad + dec_len:
+            x = joint
+        elif pad or dec_len:
             zeros = jnp.zeros(
                 (bN, pad + dec_len, txt.shape[2]), txt.dtype
             )
@@ -98,16 +171,19 @@ class JointQAModel(nn.Module):
         key_mask_full = jnp.pad(enc_mask, ((0, 0), (0, pad + dec_len)))
         write_offset = l0 + pad
 
+        from vitxtgqa_tpu.models.common import kv_cache_int8_enabled
+
+        quant = kv_cache_int8_enabled()
+        # with the int8 cache on, quantization happens inside
+        # encode_with_cache (fused into the flash kernel) — the cache
+        # entries come back as (values, scales) pairs directly
         enc_h, enc_kvs = self.mmt.encode_with_cache(
-            x, MaskSpec(key_mask=key_mask_full), deterministic=True
+            x, MaskSpec(key_mask=key_mask_full), deterministic=True,
+            quantize=quant,
         )
         n_ocr = ocr.shape[1]
         ocr_out = enc_h[:, l0 - n_ocr : l0]
         dec_cache = enc_kvs  # unified: dec slots live at write_offset..+dec
-        from vitxtgqa_tpu.models.common import kv_cache_int8_enabled
-
-        if kv_cache_int8_enabled():
-            dec_cache = self.mmt.quantize_cache(enc_kvs)
         lo = argmax_variant * b
         # hoist every loop-invariant projection out of the scan: the
         # normalised prev-pred tables and the OcrPtrNet key projection
@@ -117,6 +193,14 @@ class JointQAModel(nn.Module):
             self.classifier.table(), ocr
         )
         ptr_keys = self.ocr_ptr_net.keys(ocr_out)
+        if kv_cache_int8_enabled():
+            # the scan re-reads the [B, N, qk] keys every step; int8 with
+            # per-token scales halves that traffic the same way the KV
+            # cache does (scores_from_keys dequantizes / runs the fused
+            # int8 kernel)
+            from vitxtgqa_tpu.ops.attention import quantize_kv
+
+            ptr_keys = quantize_kv(ptr_keys)
 
         def step(carry, t):
             prev_tok, cache = carry

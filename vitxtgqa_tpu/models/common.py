@@ -123,9 +123,20 @@ class TransformerLayer(nn.Module):
         ffn = self.hidden_drop(ffn, deterministic=deterministic)
         return self.ffn_ln(x + ffn)
 
-    def __call__(self, x, bias, deterministic: bool = True, return_kv: bool = False):
+    def __call__(self, x, bias, deterministic: bool = True,
+                 return_kv: bool = False, quantize: bool = False):
         h = self.cfg.num_attention_heads
         k_raw, v_raw = self.key(x), self.value(x)
+        if return_kv and quantize:
+            # int8 cache emission fused into the flash kernel (eval-only
+            # path: the decode harness is deterministic by construction)
+            from vitxtgqa_tpu.ops.attention import mha_merged_quantize
+
+            ctx, kq, vq = mha_merged_quantize(
+                self.query(x), k_raw, v_raw, bias, h,
+                use_pallas=self.cfg.use_pallas,
+            )
+            return self._finish(x, ctx, deterministic), (kq, vq)
         rng = None if deterministic else self.make_rng("dropout")
         rate = 0.0 if deterministic else self.cfg.attention_probs_dropout_prob
         # merged-head layout end to end: projections feed the attention (and
@@ -263,13 +274,19 @@ class TransformerEncoder(nn.Module):
                 x = layer(x, bias, deterministic)
         return x
 
-    def encode_with_cache(self, x, bias, deterministic: bool = True):
+    def encode_with_cache(self, x, bias, deterministic: bool = True,
+                          quantize: bool = False):
         """Returns (final hidden, [(k, v)] per layer computed from each
         layer's input) for later cached decoding.  K/V are the raw merged
-        projections [B, L, H*D] — the decode-cache layout."""
+        projections [B, L, H*D] — the decode-cache layout.  With
+        ``quantize`` each entry is instead the ((k8, ks), (v8, vs)) int8
+        per-token-scaled pair (quantize_kv layout), emitted inside the
+        flash kernel on the Pallas path so the bf16 cache never makes a
+        second HBM round-trip through quantize_cache."""
         kvs = []
         for layer in self.layers:
-            x, kv = layer(x, bias, deterministic, return_kv=True)
+            x, kv = layer(x, bias, deterministic, return_kv=True,
+                          quantize=quantize)
             kvs.append(kv)
         return x, kvs
 
@@ -478,6 +495,27 @@ class OcrPtrNet(nn.Module):
     def scores_from_keys(self, query_inputs, k, attention_mask):
         qk = self.query_key_size or self.hidden_size
         q = self.query(query_inputs)
+        if isinstance(k, tuple):
+            # int8 per-token-scaled keys (quantize_kv layout): the decode
+            # scan re-reads the full [B, N, qk] key tensor every step, so
+            # halving its bytes matters the same way the KV cache does
+            from vitxtgqa_tpu.ops.attention import (
+                _on_tpu,
+                dequantize_kv,
+                pallas_enabled,
+            )
+
+            k8, ks = k
+            if (
+                pallas_enabled()
+                and _on_tpu()
+                and q.shape[1] == 1
+                and qk % 128 == 0
+            ):
+                from vitxtgqa_tpu.ops.pallas_attention import ptr_scores_int8
+
+                return ptr_scores_int8(q, k8, ks, attention_mask)
+            k = dequantize_kv(k8, ks, dtype=q.dtype)
         scores = jnp.einsum(
             "bsd,bnd->bsn", q, k, preferred_element_type=jnp.float32
         ) / jnp.sqrt(jnp.asarray(qk, jnp.float32))

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vitxtgqa_tpu.core.registry import registry
-from vitxtgqa_tpu.models.base import JointQAModel, l2_normalize
+from vitxtgqa_tpu.models.base import JointQAModel, project_features
 from vitxtgqa_tpu.models.common import (
     FixedVocabClassifier,
     OcrPtrNet,
@@ -82,22 +82,28 @@ class GTBox(JointQAModel):
         txt_mask = length_mask(batch["text_len"], batch["text"].shape[1])
         txt_emb = self.text_bert(batch["text"], txt_mask, deterministic)
 
-        frcn = l2_normalize(batch["video_feat"].astype(dt))
-        frame_pos = self.frame_embeddings(batch["frame_id"])
-        obj_in = jnp.concatenate([frcn, frame_pos], axis=-1)
-        obj_in = self.obj_feat_layer_norm(self.linear_obj_feat_to_mmt_in(obj_in))
+        obj_lin = project_features(
+            self.linear_obj_feat_to_mmt_in,
+            [batch["video_feat"].astype(dt),
+             self.frame_embeddings(batch["frame_id"])],
+            [True, False], dt, self.is_initializing(),
+        )
+        obj_in = self.obj_feat_layer_norm(obj_lin)
         obj_in = self.obj_drop(obj_in, deterministic=deterministic)
 
         # OCR stream over the GT annotation grid (reference: gt_box.py:255-292)
-        fasttext = l2_normalize(batch["context_feature_0"].astype(dt))
-        phoc = l2_normalize(batch["context_feature_1"].astype(dt))
-        temporal = self.temporal_position_embeddings(batch["ocr_temporal_id"])
-        track = self.track_position_embeddings(batch["ocr_track_id"])
-        ocr_feat = jnp.concatenate([fasttext, phoc, temporal, track], axis=-1)
+        ocr_lin = project_features(
+            self.linear_ocr_feat_to_mmt_in,
+            [batch["context_feature_0"].astype(dt),
+             batch["context_feature_1"].astype(dt),
+             self.temporal_position_embeddings(batch["ocr_temporal_id"]),
+             self.track_position_embeddings(batch["ocr_track_id"])],
+            [True, True, False, False], dt, self.is_initializing(),
+        )
         bbox = batch["ocr_bbox_list"].astype(dt)
-        ocr_in = self.ocr_feat_layer_norm(
-            self.linear_ocr_feat_to_mmt_in(ocr_feat)
-        ) + self.ocr_bbox_layer_norm(self.linear_ocr_bbox_to_mmt_in(bbox))
+        ocr_in = self.ocr_feat_layer_norm(ocr_lin) + self.ocr_bbox_layer_norm(
+            self.linear_ocr_bbox_to_mmt_in(bbox)
+        )
         ocr_in = self.ocr_drop(ocr_in, deterministic=deterministic)
 
         return txt_emb, txt_mask, obj_in, ocr_in

@@ -15,7 +15,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vitxtgqa_tpu.core.registry import registry
-from vitxtgqa_tpu.models.base import JointQAModel, l2_normalize
+from vitxtgqa_tpu.models.base import (
+    JointQAModel,
+    l2_normalize,
+    project_features,
+)
 from vitxtgqa_tpu.models.common import (
     FixedVocabClassifier,
     OcrPtrNet,
@@ -89,13 +93,16 @@ class M4C(JointQAModel):
         obj_in = self.obj_feat_layer_norm(self.linear_obj_feat_to_mmt_in(mid))
         obj_in = self.obj_drop(obj_in, deterministic=deterministic)
 
-        fasttext = l2_normalize(batch["context_feature_0"].astype(dt))
-        phoc = l2_normalize(batch["context_feature_1"].astype(dt))
-        ocr_feat = jnp.concatenate([fasttext, phoc], axis=-1)
+        ocr_lin = project_features(
+            self.linear_ocr_feat_to_mmt_in,
+            [batch["context_feature_0"].astype(dt),
+             batch["context_feature_1"].astype(dt)],
+            [True, True], dt, self.is_initializing(),
+        )
         bbox = batch["ocr_bbox_coordinates"].astype(dt)
-        ocr_in = self.ocr_feat_layer_norm(
-            self.linear_ocr_feat_to_mmt_in(ocr_feat)
-        ) + self.ocr_bbox_layer_norm(self.linear_ocr_bbox_to_mmt_in(bbox))
+        ocr_in = self.ocr_feat_layer_norm(ocr_lin) + self.ocr_bbox_layer_norm(
+            self.linear_ocr_bbox_to_mmt_in(bbox)
+        )
         ocr_in = self.ocr_drop(ocr_in, deterministic=deterministic)
         ocr_mask = batch["ocr_mask"].astype(jnp.float32)
 

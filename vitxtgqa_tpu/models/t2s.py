@@ -38,7 +38,7 @@ from vitxtgqa_tpu.models.common import (
     TransformerConfig,
     TransformerEncoder,
 )
-from vitxtgqa_tpu.models.base import JointQAModel, l2_normalize
+from vitxtgqa_tpu.models.base import JointQAModel, project_features
 from vitxtgqa_tpu.models.grounding import GroundingModule
 from vitxtgqa_tpu.ops.masks import MaskSpec, length_mask
 
@@ -118,37 +118,60 @@ class T2S(JointQAModel):
         txt_mask = length_mask(batch["text_len"], batch["text"].shape[1])
         txt_emb = self.text_bert(batch["text"], txt_mask, deterministic)
 
-        frcn = l2_normalize(batch["video_feat"].astype(dt))
-        frame_pos = self.frame_embeddings(batch["frame_id"])
-        obj_in = jnp.concatenate([frcn, frame_pos], axis=-1)
-        obj_in = self.obj_feat_layer_norm(self.linear_obj_feat_to_mmt_in(obj_in))
+        # the reference materialises l2-normalised copies of the big float
+        # features plus [B, N, sum(d_i)] concat buffers before each input
+        # projection (reference: t2s.py:203-258).  split_dense instead
+        # slices the projection kernel per part and commutes the
+        # normalisation scale through the matmul (see models/base.py) —
+        # the concats and normalised copies never hit HBM.  The naive
+        # branch below runs only at init to create identical params.
+        obj_lin = project_features(
+            self.linear_obj_feat_to_mmt_in,
+            [batch["video_feat"].astype(dt),
+             self.frame_embeddings(batch["frame_id"])],
+            [True, False], dt, self.is_initializing(),
+        )
+        obj_in = self.obj_feat_layer_norm(obj_lin)
         obj_in = self.obj_drop(obj_in, deterministic=deterministic)
         obj_mask = batch["frame_mask"].astype(jnp.float32)
 
-        fasttext = l2_normalize(batch["context_feature_0"].astype(dt))
-        phoc = l2_normalize(batch["context_feature_1"].astype(dt))
-        temporal = self.temporal_position_embeddings(batch["temporal_id"])
-        track = self.track_position_embeddings(batch["track_id"])
-        ocr_feat = jnp.concatenate([fasttext, phoc, temporal, track], axis=-1)
+        ocr_lin = project_features(
+            self.linear_ocr_feat_to_mmt_in,
+            [batch["context_feature_0"].astype(dt),
+             batch["context_feature_1"].astype(dt),
+             self.temporal_position_embeddings(batch["temporal_id"]),
+             self.track_position_embeddings(batch["track_id"])],
+            [True, True, False, False], dt, self.is_initializing(),
+        )
         bbox = batch["ocr_bbox_coordinates"].astype(dt)
-        ocr_in = self.ocr_feat_layer_norm(
-            self.linear_ocr_feat_to_mmt_in(ocr_feat)
-        ) + self.ocr_bbox_layer_norm(self.linear_ocr_bbox_to_mmt_in(bbox))
+        ocr_in = self.ocr_feat_layer_norm(ocr_lin) + self.ocr_bbox_layer_norm(
+            self.linear_ocr_bbox_to_mmt_in(bbox)
+        )
         ocr_in = self.ocr_drop(ocr_in, deterministic=deterministic)
         ocr_mask = batch["ocr_mask"].astype(jnp.float32)
 
         return txt_emb, txt_mask, obj_in, obj_mask, ocr_in, ocr_mask
 
     def _apply_qtv(self, txt_emb, txt_mask, obj_in, obj_mask, ocr_in, ocr_mask,
-                   deterministic: bool):
+                   deterministic: bool, dec_len: int = 0):
         """Joint self-attention; tanh residual back to each stream
-        (reference: t2s.py:384-432)."""
+        (reference: t2s.py:384-432).
+
+        Returns (txt, obj, ocr, joint): the residual-updated streams plus
+        the single [B, L, D] buffer they are slices of.  With ``dec_len``
+        the buffer is padded to round_up(l0 + dec_len, 128) — exactly the
+        unified-KV-cache geometry of JointQAModel._greedy_decode, which
+        can then take it via ``joint=`` and skip re-concatenating the
+        streams (~5.4 ms/step at batch 576).  Rows past l0 hold
+        tanh(qtv(pad)) garbage: bounded, masked everywhere, and
+        overwritten (cache-wise) by the decoder.
+        """
         # lane-align the row count so the flash kernel pads nothing (padded
         # rows are masked; their outputs are sliced away below); the zero
         # rows ride in the same concatenate — a separate jnp.pad costs a
         # full extra HBM pass over the joint sequence
         l0 = txt_emb.shape[1] + obj_in.shape[1] + ocr_in.shape[1]
-        pad = (-l0) % 128
+        pad = (-(l0 + dec_len)) % 128 + dec_len
         pieces = [txt_emb, obj_in, ocr_in]
         mask = jnp.concatenate([txt_mask, obj_mask, ocr_mask], axis=1)
         if pad:
@@ -160,11 +183,14 @@ class T2S(JointQAModel):
             mask = jnp.pad(mask, ((0, 0), (0, pad)))
         x = jnp.concatenate(pieces, axis=1)
         h = self.qtv(x, MaskSpec(key_mask=mask), deterministic)
+        # one fused elementwise pass builds the whole residual buffer; the
+        # per-stream views below are slices of it
+        joint = x + jnp.tanh(h)
         lt, lo = txt_emb.shape[1], obj_in.shape[1]
-        txt_emb = txt_emb + jnp.tanh(h[:, :lt])
-        obj_in = obj_in + jnp.tanh(h[:, lt : lt + lo])
-        ocr_in = ocr_in + jnp.tanh(h[:, lt + lo : lt + lo + ocr_in.shape[1]])
-        return txt_emb, obj_in, ocr_in
+        txt_emb = joint[:, :lt]
+        obj_in = joint[:, lt : lt + lo]
+        ocr_in = joint[:, lt + lo : l0]
+        return txt_emb, obj_in, ocr_in, joint
 
     # ---- forward ----------------------------------------------------------
     def __call__(self, batch: Dict[str, jax.Array], train: bool = False):
@@ -172,8 +198,13 @@ class T2S(JointQAModel):
         txt_emb, txt_mask, obj_in, obj_mask, ocr_in, ocr_mask = (
             self._encode_modalities(batch, deterministic)
         )
-        txt_emb, obj_in, ocr_in = self._apply_qtv(
-            txt_emb, txt_mask, obj_in, obj_mask, ocr_in, ocr_mask, deterministic
+        # eval cached-decode paths reuse the QTV residual buffer as the
+        # decode joint sequence — build it in cache geometry up front
+        reuse_joint = not train and not self.decode_recompute
+        dec_len = batch["train_prev_inds"].shape[1] if reuse_joint else 0
+        txt_emb, obj_in, ocr_in, joint = self._apply_qtv(
+            txt_emb, txt_mask, obj_in, obj_mask, ocr_in, ocr_mask,
+            deterministic, dec_len=dec_len,
         )
 
         g = self.grounding(
@@ -197,13 +228,16 @@ class T2S(JointQAModel):
                 [txt_mask, g["pos_obj_mask"], g["pos_ocr_mask"]], axis=1
             )
             dec_len = batch["train_prev_inds"].shape[1]
-            decode = (
-                self._recompute_decode if self.decode_recompute
-                else self._greedy_decode
-            )
-            pos = decode(
-                txt_emb, obj_in, ocr_in, enc_mask, g["pos_ocr_mask"], dec_len
-            )
+            if self.decode_recompute:
+                pos = self._recompute_decode(
+                    txt_emb, obj_in, ocr_in, enc_mask, g["pos_ocr_mask"],
+                    dec_len,
+                )
+            else:
+                pos = self._greedy_decode(
+                    txt_emb, obj_in, ocr_in, enc_mask, g["pos_ocr_mask"],
+                    dec_len, joint=joint,
+                )
             return {"pos_scores": pos, **common}
 
         if (
@@ -258,7 +292,7 @@ class T2S(JointQAModel):
             dec_len = batch["train_prev_inds"].shape[1]
             pos = self._greedy_decode(
                 txt_emb, obj_in, ocr_in, enc_mask_pos, g["pos_ocr_mask"],
-                dec_len,
+                dec_len, joint=joint,
             )
             chosen = jnp.argmax(pos, axis=-1)  # [B, S]
             prev = jnp.concatenate(

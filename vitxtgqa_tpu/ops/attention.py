@@ -207,6 +207,49 @@ def mha_merged(
     return merge_heads(ctx)
 
 
+def mha_merged_quantize(
+    q_raw: jax.Array,  # [B, L, H*D]
+    k_raw: jax.Array,
+    v_raw: jax.Array,
+    bias,  # masks.MaskSpec, or additive bias for the fallback
+    num_heads: int,
+    use_pallas: bool = False,
+):
+    """mha_merged (eval path, no dropout) fused with int8 cache emission.
+
+    Returns (ctx, (k8, ks), (v8, vs)): the attention output plus the
+    quantize_kv-layout int8 decode cache of this layer's K/V.  On the
+    Pallas path the quantization happens inside the flash kernel from the
+    K/V tiles already resident in VMEM — the separate quantize_cache pass
+    otherwise re-reads the whole bf16 cache from HBM (7.7 GB / ~13 ms per
+    serving step at batch 576).  Elsewhere it falls back to
+    mha_merged + quantize_kv with identical (bit-exact) results.
+    """
+    from vitxtgqa_tpu.ops.masks import MaskSpec
+
+    sp_active = (
+        _SP[0] is not None
+        and q_raw.shape[1] % _SP[0].shape[_SP[1]] == 0
+    )
+    if (
+        isinstance(bias, MaskSpec)
+        and not sp_active
+        and (use_pallas or _GLOBAL_USE_PALLAS)
+        and k_raw.shape[1] >= _PALLAS_MIN_KV
+        and _on_tpu()
+    ):
+        from vitxtgqa_tpu.ops.pallas_attention import (
+            flash_attention_merged_q8,
+        )
+
+        return flash_attention_merged_q8(
+            q_raw, k_raw, v_raw, bias.key_mask, bias.dec_len, num_heads
+        )
+    ctx = mha_merged(q_raw, k_raw, v_raw, bias, num_heads,
+                     use_pallas=use_pallas)
+    return ctx, quantize_kv(k_raw), quantize_kv(v_raw)
+
+
 def mha(
     q: jax.Array,  # [B, H, Lq, Dh]
     k: jax.Array,  # [B, H, Lk, Dh]

@@ -438,7 +438,13 @@ def _flash_merged_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
         pltpu.prng_seed(
             seed_ref[0], pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
         )
-    hd = head_dim
+    o_ref[0] = _merged_heads_attend(
+        q, k, v, allowed, scale, num_heads, head_dim, rate
+    ).astype(o_ref.dtype)
+
+
+def _merged_heads_attend(q, k, v, allowed, scale, num_heads, hd, rate):
+    """Per-head softmax(QK^T)V over merged-layout VMEM tiles ([R, H*D])."""
     outs = []
     for h in range(num_heads):
         scores = jax.lax.dot_general(
@@ -459,7 +465,7 @@ def _flash_merged_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
                 preferred_element_type=jnp.float32,
             )
         )
-    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+    return jnp.concatenate(outs, axis=1)
 
 
 def _flash_merged_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, g_ref,
@@ -658,6 +664,108 @@ def _flash_merged_impl(q, k, v, key_mask, seed, dec_len: int, num_heads: int,
         interpret=interpret,
     )(seed, q, k, v, maskp)
     return out[:, :l, :]
+
+
+def _flash_merged_q8_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, k8_ref,
+                            ks_ref, v8_ref, vs_ref, *, scale, block_q,
+                            l_total, dec_len, num_heads, head_dim):
+    """_flash_merged_kernel (eval, no dropout) that additionally emits the
+    int8 per-token-scaled decode cache from the K/V tiles it already holds
+    in VMEM.  The K/V block is batch-resident (same block every q-block
+    iteration), so quantization runs once at qi == 0 — the separate
+    quantize_cache pass otherwise re-reads the whole bf16 cache from HBM
+    (7.7 GB / ~13 ms per serving step at batch 576)."""
+    q = q_ref[0]
+    k = k_ref[0]  # [Lp, H*D]
+    v = v_ref[0]
+    bq = q.shape[0]
+    lp = k.shape[0]
+    key_ok = mask_ref[0, 0:1, :] > 0
+    allowed = _allowed(bq, lp, pl.program_id(1), block_q, l_total, dec_len,
+                       key_ok)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _emit():
+        # bit-matches ops.attention.quantize_kv: amax in the input dtype,
+        # f32 scale, round + clip to ±127
+        for x, x8_ref, xs_ref in ((k, k8_ref, ks_ref), (v, v8_ref, vs_ref)):
+            s = jnp.maximum(
+                jnp.max(jnp.abs(x), axis=-1).astype(jnp.float32), 1e-6
+            ) / 127.0  # [Lp]
+            x8_ref[0] = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / s[:, None]), -127, 127
+            ).astype(jnp.int8)
+            xs_ref[0] = s[None, :]
+
+    o_ref[0] = _merged_heads_attend(
+        q, k, v, allowed, scale, num_heads, head_dim, 0.0
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dec_len", "num_heads", "block_q", "interpret")
+)
+def flash_attention_merged_q8(q, k, v, key_mask, dec_len: int,
+                              num_heads: int, block_q: int = 0,
+                              interpret: bool = False):
+    """flash_attention_merged (eval path) fused with int8 cache emission.
+
+    Returns (out [B, L, H*D], (k8, ks), (v8, vs)) where the quantized
+    pairs follow ops.attention.quantize_kv's layout ([B, L, H*D] int8 +
+    [B, L] f32 per-token scales) computed over the SAME padded cache rows
+    the decode loop will read.  Serving-only: not differentiable."""
+    b, l, hd_total = q.shape
+    d = hd_total // num_heads
+    scale = 1.0 / (d ** 0.5)
+    q, k, v, maskp, block_q, l_p, lq_p, d = _merged_geometry(
+        q, k, v, key_mask, num_heads, block_q
+    )
+    grid = (b, lq_p // block_q)
+    kv_spec = pl.BlockSpec((1, l_p, hd_total), lambda bi, qi: (bi, 0, 0))
+    sc_spec = pl.BlockSpec((1, 1, l_p), lambda bi, qi: (bi, 0, 0))
+    out, k8, ks, v8, vs = pl.pallas_call(
+        functools.partial(
+            _flash_merged_q8_kernel, scale=scale, block_q=block_q,
+            l_total=l, dec_len=dec_len, num_heads=num_heads, head_dim=d,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd_total), lambda bi, qi: (bi, qi, 0)),
+            kv_spec,
+            kv_spec,
+            sc_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, hd_total), lambda bi, qi: (bi, qi, 0)),
+            kv_spec,
+            sc_spec,
+            kv_spec,
+            sc_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, lq_p, hd_total), q.dtype),
+            jax.ShapeDtypeStruct((b, l_p, hd_total), jnp.int8),
+            jax.ShapeDtypeStruct((b, 1, l_p), jnp.float32),
+            jax.ShapeDtypeStruct((b, l_p, hd_total), jnp.int8),
+            jax.ShapeDtypeStruct((b, 1, l_p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * lq_p * l_p * hd_total,
+            bytes_accessed=(
+                b * (2 * lq_p + 3 * l_p) * hd_total * q.dtype.itemsize
+            ),
+            transcendentals=b * num_heads * lq_p * l_p,
+        ),
+        interpret=interpret,
+    )(q, k, v, maskp)
+    return (
+        out[:, :l, :],
+        (k8[:, :l, :], ks[:, 0, :l]),
+        (v8[:, :l, :], vs[:, 0, :l]),
+    )
 
 
 def _flash_merged_bwd_impl(q, k, v, key_mask, seed, g, dec_len: int,
@@ -942,6 +1050,63 @@ def decode_attention_int8(q, k8, ks, v8, vs, key_mask, step,
         interpret=interpret,
     )(step_arr, q, k8, ks, v8, vs, maskp)
     return out
+
+
+def _ptr_scores_int8_kernel(q_ref, k8_ref, ks_ref, mask_ref, o_ref, *,
+                            scale):
+    q = q_ref[0]  # [1, D]
+    kf = k8_ref[0].astype(q.dtype)  # [Np, D] (int8 values exact in bf16)
+    s = jax.lax.dot_general(
+        q, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [1, Np]
+    # dequant scale and 1/sqrt(d) fold into one row-broadcast multiply;
+    # the raw 0/1 mask then ADDS (the reference OcrPtrNet quirk — valid
+    # slots get +1, not a -1e4 fill; reference: t2s.py:636-670)
+    o_ref[0] = s * (ks_ref[0] * scale) + mask_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ptr_scores_int8(q, k8, ks, mask, interpret: bool = False):
+    """OcrPtrNet decode-step scores over int8 per-token-scaled keys.
+
+    q [B, 1, D] query projection; k8 [B, N, D] int8 keys with scales
+    ks [B, N] f32 (ops.attention.quantize_kv layout); mask [B, N] raw 0/1
+    OCR-slot mask, ADDED to the scores.  Returns [B, 1, N] f32 — the same
+    contraction as OcrPtrNet.scores_from_keys on the dequantized keys
+    ((q . k8) * s == q . (k8 * s) exactly, modulo f32 summation order).
+
+    Exists because the decode scan re-reads the [B, 960, 768] key tensor
+    every step: bf16 keys cost 10.2 GB over 12 steps at batch 576
+    (13.5 ms, bandwidth-roofline); int8 halves that."""
+    b, s_len, d = q.shape
+    n = k8.shape[1]
+    n_p = _round_up(n, _LANE)
+    scale = 1.0 / (d ** 0.5)
+    if n_p != n:
+        k8 = jnp.pad(k8, ((0, 0), (0, n_p - n), (0, 0)))
+        ks = jnp.pad(ks, ((0, 0), (0, n_p - n)))
+        mask = jnp.pad(mask, ((0, 0), (0, n_p - n)))
+    ks = ks[:, None, :]  # [B, 1, Np]
+    maskp = mask.astype(jnp.float32)[:, None, :]
+    out = pl.pallas_call(
+        functools.partial(_ptr_scores_int8_kernel, scale=scale),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s_len, d), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, n_p, d), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, n_p), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, n_p), lambda bi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s_len, n_p), lambda bi: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s_len, n_p), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_p * d,
+            bytes_accessed=b * n_p * d,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, k8, ks, maskp)
+    return out[:, :, :n]
 
 
 # ---------------------------------------------------------------------------
