@@ -76,22 +76,21 @@ def project_features(dense, parts, normalize, out_dtype, is_init: bool):
     modality input-projection idiom shared by every model in the zoo
     (reference: t2s.py:203-258, m4c.py:185-230, ...).
 
-    At init the naive form runs (creating ``dense``'s params with the
-    standard concat geometry); afterwards the call lowers to split_dense
-    with the l2 scales commuted through the matmul, so neither the
-    [B, N, sum(d_i)] concat buffer nor the normalised feature copies are
-    ever materialised."""
-    if is_init:
-        cat = jnp.concatenate(
-            [l2_normalize(p) if n else p for p, n in zip(parts, normalize)],
-            axis=-1,
-        )
-        return dense(cat)
-    return split_dense(
-        dense, parts,
-        [inv_l2_norm(p) if n else None for p, n in zip(parts, normalize)],
-        out_dtype,
+    Measured NEGATIVE result (v5e, same-process A/B at [576, 960] OCR
+    dims): lowering this to split_dense with the l2 scales commuted
+    through the matmul — skipping the [B, N, sum(d_i)] concat buffer and
+    the normalised copies — runs 49.2 ms vs 42.5 ms for this naive form.
+    The sliced matmuls lose more to unaligned contraction dims
+    (300/604/50) and four materialised f32 partial products than the
+    concat costs; pre-scaled-inputs-in-the-concat measured neutral
+    (42.8 ms).  So the naive form is the fast one; split_dense remains
+    available for geometry where the parts are lane-aligned."""
+    del out_dtype, is_init  # kept for signature stability at call sites
+    cat = jnp.concatenate(
+        [l2_normalize(p) if n else p for p, n in zip(parts, normalize)],
+        axis=-1,
     )
+    return dense(cat)
 
 
 class JointQAModel(nn.Module):
@@ -171,19 +170,21 @@ class JointQAModel(nn.Module):
         key_mask_full = jnp.pad(enc_mask, ((0, 0), (0, pad + dec_len)))
         write_offset = l0 + pad
 
-        from vitxtgqa_tpu.models.common import kv_cache_int8_enabled
-
-        quant = kv_cache_int8_enabled()
-        # with the int8 cache on, quantization happens inside
-        # encode_with_cache (fused into the flash kernel) — the cache
-        # entries come back as (values, scales) pairs directly
         enc_h, enc_kvs = self.mmt.encode_with_cache(
-            x, MaskSpec(key_mask=key_mask_full), deterministic=True,
-            quantize=quant,
+            x, MaskSpec(key_mask=key_mask_full), deterministic=True
         )
         n_ocr = ocr.shape[1]
         ocr_out = enc_h[:, l0 - n_ocr : l0]
         dec_cache = enc_kvs  # unified: dec slots live at write_offset..+dec
+        from vitxtgqa_tpu.models.common import kv_cache_int8_enabled
+
+        if kv_cache_int8_enabled():
+            # separate XLA quantize pass on purpose: fusing the int8
+            # emission into the flash kernel (encode_with_cache
+            # quantize=True) measured 75.6 vs 73.7 ms per layer-call on
+            # the v5e — the extra outputs break the kernel's pipelining
+            # more than the saved HBM re-read gains
+            dec_cache = self.mmt.quantize_cache(enc_kvs)
         lo = argmax_variant * b
         # hoist every loop-invariant projection out of the scan: the
         # normalised prev-pred tables and the OcrPtrNet key projection
@@ -192,15 +193,11 @@ class JointQAModel(nn.Module):
         ans_tbl, ocr_tbl = self.prev_pred_embeddings.tables(
             self.classifier.table(), ocr
         )
+        # ptr keys stay bf16: int8-with-per-token-scales via
+        # ptr_scores_int8 measured 39.7 vs 34.3 ms over 12 steps on the
+        # v5e (the [B]-grid matvec kernel loses more to per-program
+        # overhead than the halved key bytes gain)
         ptr_keys = self.ocr_ptr_net.keys(ocr_out)
-        if kv_cache_int8_enabled():
-            # the scan re-reads the [B, N, qk] keys every step; int8 with
-            # per-token scales halves that traffic the same way the KV
-            # cache does (scores_from_keys dequantizes / runs the fused
-            # int8 kernel)
-            from vitxtgqa_tpu.ops.attention import quantize_kv
-
-            ptr_keys = quantize_kv(ptr_keys)
 
         def step(carry, t):
             prev_tok, cache = carry

@@ -281,8 +281,9 @@ class TransformerEncoder(nn.Module):
         projections [B, L, H*D] — the decode-cache layout.  With
         ``quantize`` each entry is instead the ((k8, ks), (v8, vs)) int8
         per-token-scaled pair (quantize_kv layout), emitted inside the
-        flash kernel on the Pallas path so the bf16 cache never makes a
-        second HBM round-trip through quantize_cache."""
+        flash kernel on the Pallas path.  Not used by the decode harness:
+        the fused emission measured slower than a separate
+        quantize_cache pass on the v5e (see flash_attention_merged_q8)."""
         kvs = []
         for layer in self.layers:
             x, kv = layer(x, bias, deterministic, return_kv=True,

@@ -220,10 +220,12 @@ def mha_merged_quantize(
     Returns (ctx, (k8, ks), (v8, vs)): the attention output plus the
     quantize_kv-layout int8 decode cache of this layer's K/V.  On the
     Pallas path the quantization happens inside the flash kernel from the
-    K/V tiles already resident in VMEM — the separate quantize_cache pass
-    otherwise re-reads the whole bf16 cache from HBM (7.7 GB / ~13 ms per
-    serving step at batch 576).  Elsewhere it falls back to
+    K/V tiles already resident in VMEM; elsewhere it falls back to
     mha_merged + quantize_kv with identical (bit-exact) results.
+
+    NOT the default: the fused emission measured 75.6 vs 73.7 ms per
+    layer-call on the v5e (see flash_attention_merged_q8), so the decode
+    harness runs the separate quantize_cache pass instead.
     """
     from vitxtgqa_tpu.ops.masks import MaskSpec
 

@@ -713,7 +713,15 @@ def flash_attention_merged_q8(q, k, v, key_mask, dec_len: int,
     Returns (out [B, L, H*D], (k8, ks), (v8, vs)) where the quantized
     pairs follow ops.attention.quantize_kv's layout ([B, L, H*D] int8 +
     [B, L] f32 per-token scales) computed over the SAME padded cache rows
-    the decode loop will read.  Serving-only: not differentiable."""
+    the decode loop will read.  Serving-only: not differentiable.
+
+    Measured NEGATIVE on the v5e (same-process A/B at [576, 1152, 768]):
+    75.6 ms vs 73.7 ms for flash_attention_merged + a separate XLA
+    quantize_kv pass — the three extra output streams cost the kernel
+    more pipelining/VMEM headroom than the saved HBM re-read gains, so
+    the default decode path keeps the separate quantize_cache pass.
+    Kept as a working alternative (bit-exact, tested in interpret mode)
+    for geometries with more decode steps per encode."""
     b, l, hd_total = q.shape
     d = hd_total // num_heads
     scale = 1.0 / (d ** 0.5)
@@ -1077,7 +1085,13 @@ def ptr_scores_int8(q, k8, ks, mask, interpret: bool = False):
 
     Exists because the decode scan re-reads the [B, 960, 768] key tensor
     every step: bf16 keys cost 10.2 GB over 12 steps at batch 576
-    (13.5 ms, bandwidth-roofline); int8 halves that."""
+    (13.5 ms, bandwidth-roofline); int8 halves that.
+
+    Measured NEGATIVE on the v5e (same-process A/B, 12 steps at the dims
+    above): 39.7 ms vs 34.3 ms for the bf16 einsum path — the [B]-grid
+    launches 576 tiny matvec programs whose per-program overhead exceeds
+    the halved key bytes.  The decode harness therefore keeps bf16 ptr
+    keys; a batch-tiled rewrite is the thing to try before re-enabling."""
     b, s_len, d = q.shape
     n = k8.shape[1]
     n_p = _round_up(n, _LANE)
