@@ -20,10 +20,13 @@ Prints ONE JSON line.  Beyond the driver contract
 {"metric", "value", "unit", "vs_baseline"} the line carries a "config"
 object that makes the number self-describing: the batch size that actually
 executed, which kernel flags were in effect, every fallback event that
-fired (batch halving, Pallas disable, retries), per-iteration wall times,
-and compile/warmup durations — so a recorded value can always be
-reconciled against BASELINE.md (e.g. distinguishing a cold-cache or
-contended-tunnel run from a genuine regression).
+fired (batch halving, Pallas disable, retries), fenced per-iteration wall
+times + the chained-block total, and compile/warmup durations — so a
+recorded value can always be reconciled against BASELINE.md (e.g.
+distinguishing a cold-cache or contended-tunnel run from a genuine
+regression).  The headline times a chained block fenced once: on-device
+steps execute in dispatch order, and the tunnel's per-call D2H fence
+floor (~31 ms) would otherwise tax every iteration.
 
 Env knobs: BENCH_BATCH, BENCH_ITERS, BENCH_PALLAS, BENCH_DECODE_KERNEL,
 BENCH_KV_INT8, BENCH_FULL_EVAL, BENCH_TRAIN, BENCH_TRAIN_BATCH,
@@ -161,17 +164,28 @@ def _run_once(batch_size: int, use_pallas: bool):
         float(eval_step(params, dev_batch, jnp.int32(99)))
         jax.profiler.stop_trace()
 
+    # diagnostics: fenced per-iteration times.  The tunnel's D2H fence
+    # floor is ~31 ms per float() (measured against a trivial digest), so
+    # fencing EVERY iteration taxes the number ~5% at batch 576.
     iter_times = []
-    t_total0 = time.perf_counter()
     seed = jnp.int32(1)
-    for _ in range(ITERS):
-        # chain each call on the previous digest so steps serialize; the
-        # per-iter D2H float() is the only trusted fence on the tunnel
+    for _ in range(3):
         t_i = time.perf_counter()
         d = eval_step(params, dev_batch, seed)
         seed = (d.astype(jnp.int32) % 13) + seed
         _ = float(seed)
         iter_times.append(round(time.perf_counter() - t_i, 4))
+
+    # headline: a chained block fenced ONCE.  Steps on one device execute
+    # in dispatch order, so the final digest's D2H bounds all ITERS steps;
+    # this is the pipelined-serving number (results stream out while the
+    # next batch computes) and pays the fence floor once instead of per
+    # step.
+    t_total0 = time.perf_counter()
+    last = None
+    for i in range(ITERS):
+        last = eval_step(params, dev_batch, jnp.int32(1000 + i))
+    _ = float(last)
     dt = time.perf_counter() - t_total0
 
     RECORD.update({
@@ -179,7 +193,8 @@ def _run_once(batch_size: int, use_pallas: bool):
         "init_plus_compile_s": round(time.perf_counter() - t_init0, 2),
         "first_call_s": round(compile_s, 2),
         "warmup_times_s": warmup_times,
-        "iter_times_s": iter_times,
+        "fenced_iter_times_s": iter_times,
+        "chained_block_s": round(dt, 4),
     })
     return batch_size * ITERS / dt
 
@@ -254,19 +269,26 @@ def _run_train_bench(batch_size: int, use_pallas: bool):
 
     iters = max(ITERS, 5)
     iter_times = []
-    t0 = time.perf_counter()
-    for i in range(iters):
+    for i in range(3):  # fenced per-iter diagnostics
         t_i = time.perf_counter()
         params, opt_state, loss = train_step(params, opt_state, dev_batch, 10 + i)
         _ = float(loss)  # D2H fence
         iter_times.append(round(time.perf_counter() - t_i, 4))
+    # headline: chained block, fenced once — train steps serialize through
+    # the params data dependence, and the per-call fence floor (~31 ms on
+    # the tunnel) would otherwise tax batch-48 steps ~6%
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, loss = train_step(params, opt_state, dev_batch, 20 + i)
+    _ = float(loss)
     dt = time.perf_counter() - t0
     return {
         "value": round(batch_size * iters / dt, 2),
         "unit": "videos/sec/chip",
         "batch": batch_size,
         "first_call_s": round(compile_s, 2),
-        "iter_times_s": iter_times,
+        "fenced_iter_times_s": iter_times,
+        "chained_block_s": round(dt, 4),
         "remat": True,
         "variant_scan": True,
     }
