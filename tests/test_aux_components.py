@@ -190,3 +190,36 @@ def test_dataset_stats_per_script_coverage(repo_root):
     assert sum(
         stats["per_script"]["anno_temporal_span_location_distribution"].values()
     ) == n_spans
+
+
+def test_prefetch_batches_keep_host_and_error_propagation():
+    from vitxtgqa_tpu.data.loader import prefetch_batches
+
+    def batches():
+        for i in range(3):
+            yield {"tensors": {"x": np.full((2,), i)}, "meta": i}
+
+    # keep_host: device tensors under "tensors", originals under "tensors_host"
+    out = list(
+        prefetch_batches(
+            batches(), size=2,
+            device_put=lambda t: jax.device_put(t), keep_host=True,
+        )
+    )
+    assert [b["meta"] for b in out] == [0, 1, 2]
+    for i, b in enumerate(out):
+        assert isinstance(b["tensors"]["x"], jax.Array)
+        assert isinstance(b["tensors_host"]["x"], np.ndarray)
+        np.testing.assert_array_equal(b["tensors_host"]["x"], np.full((2,), i))
+        np.testing.assert_array_equal(np.asarray(b["tensors"]["x"]), np.full((2,), i))
+
+    # worker exceptions re-raise in the consumer, after the good batches
+    def bad():
+        yield {"tensors": {"x": np.zeros(1)}}
+        raise RuntimeError("boom")
+
+    it = prefetch_batches(bad(), size=2)
+    next(it)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="boom"):
+        next(it)

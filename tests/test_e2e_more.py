@@ -121,3 +121,31 @@ def test_baseline_models_val_inference(model, config, fixture_data, tmp_path,
     assert "total_loss" in loss_avg
     for key in ("textvqa_accuracy", "IOU@0.5", "GQA@0.5"):
         assert f"vtextgqa/{key}" in metric_avg, (model, key)
+
+
+@pytest.mark.slow
+def test_t2s_train_variant_scan_via_trainer(fixture_data, tmp_path, repo_root):
+    """training_parameters.tpu.variant_scan=True must route through the
+    trainer's model rebind (regression: flax modules have no .replace —
+    clone() is the rebinding API) and train with the scanned variants."""
+    sys.path.insert(0, repo_root)
+    from tools.run import run
+    from vitxtgqa_tpu.core.registry import registry
+
+    registry.clear_state()
+    trainer = run(
+        [
+            "--config", os.path.join(repo_root, "configs", "t2s_abinet.yml"),
+            "--model", "t2s", "--datasets", "vtextgqa",
+            "--run_type", "train",
+        ]
+        + _opts(fixture_data, tmp_path, "t2s")
+        + [
+            "training_parameters.tpu.variant_scan=True",
+            "training_parameters.max_iterations=2",
+            "training_parameters.log_interval=2",
+            "training_parameters.snapshot_interval=10",
+        ]
+    )
+    assert trainer.model.train_variant_scan is True
+    assert trainer.iteration == 2

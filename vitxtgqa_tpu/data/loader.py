@@ -146,12 +146,20 @@ def prefetch_batches(
     it: Iterator[Dict[str, Any]],
     size: int = 2,
     device_put: Optional[Callable] = None,
+    keep_host: bool = False,
 ) -> Iterator[Dict[str, Any]]:
     """Background-thread prefetch; optionally device_put tensor subtrees.
 
     Overlaps host-side batch assembly (and H2D transfer when `device_put`
     is given) with device compute — the jnp equivalent of pin_memory +
-    non-blocking copies.
+    non-blocking copies.  JAX dispatch (device_put included) is
+    thread-safe, so the H2D of batch t+1..t+size rides under the device's
+    compute of batch t.
+
+    ``keep_host`` preserves the original numpy tensors under
+    "tensors_host" (metrics/decoding consumers avoid a device_get of the
+    whole batch).  Worker exceptions re-raise in the consumer instead of
+    silently ending the stream.
     """
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=size)
     sentinel = object()
@@ -161,8 +169,12 @@ def prefetch_batches(
             for batch in it:
                 if device_put is not None:
                     batch = dict(batch)
+                    if keep_host:
+                        batch["tensors_host"] = batch["tensors"]
                     batch["tensors"] = device_put(batch["tensors"])
                 q.put(batch)
+        except BaseException as e:  # propagate into the consuming thread
+            q.put(("__prefetch_error__", e))
         finally:
             q.put(sentinel)
 
@@ -172,4 +184,6 @@ def prefetch_batches(
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
+            raise item[1]
         yield item

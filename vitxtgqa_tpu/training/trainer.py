@@ -217,7 +217,9 @@ class BaseTrainer:
             if "train_variant_scan" in getattr(
                 type(self.model), "__dataclass_fields__", {}
             ):
-                self.model = self.model.replace(train_variant_scan=True)
+                # flax modules are frozen dataclasses without .replace;
+                # clone() is the linen way to rebind a field
+                self.model = self.model.clone(train_variant_scan=True)
                 self.logger.write("variant-scan training path enabled")
         if serving:
             self.logger.write("serving mode: single-variant inference path")
@@ -420,6 +422,29 @@ class BaseTrainer:
                     tensors[key] = tensors[key].astype(jnp.bfloat16)
         return jax.device_put(tensors, self._data_sharding)
 
+    def _prefetched(self, it):
+        """Wrap a batch iterator with background H2D prefetch when
+        training_parameters.tpu.prefetch > 0 (keeps the numpy tensors
+        under "tensors_host" for host-side scoring)."""
+        depth = int(getattr(getattr(self.tp, "tpu", None), "prefetch", 0) or 0)
+        if depth <= 0:
+            return it
+        from vitxtgqa_tpu.data.loader import prefetch_batches
+
+        return prefetch_batches(
+            it, size=depth, device_put=self._put_batch, keep_host=True
+        )
+
+    def _split_device_batch(self, batch):
+        """(device tensors, host-view batch) for a possibly-prefetched
+        batch: device_puts on the spot when prefetch is off."""
+        if "tensors_host" in batch:
+            dev = batch["tensors"]
+            batch = dict(batch)
+            batch["tensors"] = batch.pop("tensors_host")
+            return dev, batch
+        return self._put_batch(batch["tensors"]), batch
+
     def train(self):
         if "train" not in self.run_type:
             self.inference()
@@ -437,6 +462,11 @@ class BaseTrainer:
         train_timer = Timer()
         debug = getattr(self.tp, "logger_level", "info") == "debug"
         tpu_cfg = getattr(self.tp, "tpu", None)
+        # host->device prefetch (config: training_parameters.tpu.prefetch):
+        # a background thread assembles + device_puts the next batches
+        # while the device computes, so host IO and H2D never serialize
+        # with the train step
+        batches = self._prefetched(batches)
         profile_steps = int(getattr(tpu_cfg, "profile_steps", 0) or 0)
         profile_dir = getattr(tpu_cfg, "profile_dir", None) or os.path.join(
             self.logger.save_dir, "profile"
@@ -461,7 +491,7 @@ class BaseTrainer:
                 jax.profiler.stop_trace()
                 profiling = False
                 self.logger.write(f"profiler trace written to {profile_dir}")
-            tensors = self._put_batch(batch["tensors"])
+            tensors, batch = self._split_device_batch(batch)
             (
                 self.params, self.opt_state, total, ldict, out, gnorm
             ) = self.train_step(
@@ -607,10 +637,12 @@ class BaseTrainer:
 
         def dispatched():
             # dispatch the next batch's eval before pulling the previous
-            # one's results: device compute overlaps host-side scoring
+            # one's results: device compute overlaps host-side scoring;
+            # prefetch_batches additionally overlaps batch assembly + H2D
+            # with both (training_parameters.tpu.prefetch)
             pending = None
-            for i, batch in enumerate(loader):
-                dev = self._put_batch(batch["tensors"])
+            for i, batch in enumerate(self._prefetched(iter(loader))):
+                dev, batch = self._split_device_batch(batch)
                 out = self.eval_step(self.params, dev, self.rng, i)
                 if pending is not None:
                     yield pending
@@ -661,8 +693,8 @@ class BaseTrainer:
         vtextgqa/dataset.py:315-363)."""
         loader = self.loaders[split]
         predictions = []
-        for bi, batch in enumerate(loader):
-            dev = self._put_batch(batch["tensors"])
+        for bi, batch in enumerate(self._prefetched(iter(loader))):
+            dev, batch = self._split_device_batch(batch)
             out = jax.device_get(
                 self.eval_step(self.params, dev, self.rng, bi)
             )
