@@ -59,13 +59,23 @@ class TranSTRSelector(nn.Module):
     ocr_frame_num: int
     num_heads: int = 8
     num_layers: int = 2
+    # defaults match the reference's hard-coded rates (transtr.py:354,369 and
+    # the DETR layer default 0.1); overridable for deterministic parity runs
+    dropout: float = 0.1
+    resize_dropout: float = 0.2
 
     def setup(self):
         d = self.hidden_size
-        self.ocr_resize = FeatureResizer(d, dropout=0.2)
-        self.frame_decoder = DetrDecoder(d, self.num_heads, self.num_layers)
-        self.ocr_decoder = DetrDecoder(d, self.num_heads, self.num_layers)
-        self.fo_decoder = DetrDecoder(d, self.num_heads, self.num_layers)
+        self.ocr_resize = FeatureResizer(d, dropout=self.resize_dropout)
+        self.frame_decoder = DetrDecoder(
+            d, self.num_heads, self.num_layers, dropout=self.dropout
+        )
+        self.ocr_decoder = DetrDecoder(
+            d, self.num_heads, self.num_layers, dropout=self.dropout
+        )
+        self.fo_decoder = DetrDecoder(
+            d, self.num_heads, self.num_layers, dropout=self.dropout
+        )
 
     def __call__(self, q_feat, q_mask, frame_feat, ocr_feat, ocr_mask,
                  ocr_box, train: bool):
@@ -193,6 +203,8 @@ class TranSTR(JointQAModel):
             ocr_topk=self.ocr_topk,
             frame_num=int(cfg_get(g, "frame_num")),
             ocr_frame_num=int(cfg_get(g, "ocr_frame_num")),
+            dropout=float(cfg_get(g, "dropout_prob", 0.1)),
+            resize_dropout=float(cfg_get(g, "resize_dropout_prob", 0.2)),
             name="selector",
         )
 
@@ -251,12 +263,16 @@ class TranSTR(JointQAModel):
             batch["ocr_bbox_coordinates"].astype(self.compute_dtype), train,
         )
 
-        enc_mask = jnp.concatenate(
-            [txt_mask, sel["obj_mask"], sel["ocr_mask"]], axis=1
-        )
+        # the answering MMT sees ONLY [fused frames | ocr | dec] — unlike
+        # every other model in the zoo, transtr's MMT drops the question
+        # text from the joint sequence (txt_end = txt_begin; reference:
+        # transtr.py:616-633); the question reaches the answer only through
+        # the selector's cross-attention
+        no_txt = txt_emb[:, :0]
+        enc_mask = jnp.concatenate([sel["obj_mask"], sel["ocr_mask"]], axis=1)
         if train:
             scores = self._mmt_full(
-                txt_emb, sel["obj"], ocr_in, enc_mask, sel["ocr_mask"],
+                no_txt, sel["obj"], ocr_in, enc_mask, sel["ocr_mask"],
                 batch["train_prev_inds"], deterministic,
             )
         else:
@@ -266,7 +282,7 @@ class TranSTR(JointQAModel):
                 else self._greedy_decode
             )
             scores = decode(
-                txt_emb, sel["obj"], ocr_in, enc_mask, sel["ocr_mask"], dec_len
+                no_txt, sel["obj"], ocr_in, enc_mask, sel["ocr_mask"], dec_len
             )
 
         return {

@@ -186,6 +186,94 @@ def convert_t2s_like(sd: Dict[str, np.ndarray],
     return out
 
 
+def _detr_decoder_entries(torch_prefix: str, flax_prefix: str,
+                          num_layers: int):
+    """Reference DETR TransformerDecoder (transtr_module/
+    multimodal_transformer.py:37-172) -> models/detr.DetrDecoder names."""
+    entries = []
+    for i in range(num_layers):
+        t = f"{torch_prefix}.layers.{i}"
+        f = f"{flax_prefix}/layer_{i}"
+        for tattn, fattn in (("self_attn", "self_attn"),
+                             ("multihead_attn", "cross_attn")):
+            for lin in ("q_lin", "k_lin", "v_lin", "out_lin"):
+                entries.append((f"{t}.{tattn}.{lin}", f"{f}/{fattn}/{lin}",
+                                "linear"))
+        entries += [
+            (f"{t}.linear1", f"{f}/linear1", "linear"),
+            (f"{t}.linear2", f"{f}/linear2", "linear"),
+            (f"{t}.norm1", f"{f}/norm1", "ln"),
+            (f"{t}.norm2", f"{f}/norm2", "ln"),
+            (f"{t}.norm3", f"{f}/norm3", "ln"),
+        ]
+    entries.append((f"{torch_prefix}.norm", f"{flax_prefix}/norm", "ln"))
+    return entries
+
+
+def convert_transtr(sd: Dict[str, np.ndarray], text_layers: int = 3,
+                    mmt_layers: int = 3,
+                    det_layers: int = 2) -> Dict[str, np.ndarray]:
+    """Reference TRANSTR state dict (pythia/models/transtr.py:26-347 +
+    VideoQAmodel :349-530) -> flat {path: array} for models/transtr.TranSTR.
+
+    Skipped reference parameters are all dead in its forward: the
+    spatial_enhance LSTM, obj_frame projections (transtr.py:93-100, never
+    called), and VideoQAmodel's text_encoder / vl_encoder / ans_decoder /
+    classifier / tokenizer (the question stream reuses text_bert's output,
+    transtr.py:415-416, and answering happens in the shared MMT)."""
+    out: Dict[str, np.ndarray] = {}
+    convert_text_bert(sd, "text_bert", "text_bert", text_layers, out)
+
+    _emit(
+        [
+            ("frame_embeddings", "frame_embeddings", "embed"),
+            ("linear_obj_feat_to_mmt_in", "linear_obj_feat_to_mmt_in", "linear"),
+            ("obj_feat_layer_norm", "obj_feat_layer_norm", "ln"),
+            ("temporal_position_embeddings", "temporal_position_embeddings", "embed"),
+            ("track_position_embeddings", "track_position_embeddings", "embed"),
+            ("linear_ocr_feat_to_mmt_in", "linear_ocr_feat_to_mmt_in", "linear"),
+            ("linear_ocr_bbox_to_mmt_in", "linear_ocr_bbox_to_mmt_in", "linear"),
+            ("ocr_feat_layer_norm", "ocr_feat_layer_norm", "ln"),
+            ("ocr_bbox_layer_norm", "ocr_bbox_layer_norm", "ln"),
+        ],
+        sd, out,
+    )
+
+    # selector (reference attribute name: VideoQAmodel)
+    v, f = "VideoQAmodel", "selector"
+    _emit(
+        [
+            (f"{v}.ocr_resize.fc", f"{f}/ocr_resize/Dense_0", "linear"),
+            (f"{v}.ocr_resize.layer_norm", f"{f}/ocr_resize/LayerNorm_0", "ln"),
+        ],
+        sd, out,
+    )
+    for dec in ("frame_decoder", "ocr_decoder", "fo_decoder"):
+        _emit(_detr_decoder_entries(f"{v}.{dec}", f"{f}/{dec}", det_layers),
+              sd, out)
+
+    convert_bert_encoder(sd, "mmt.encoder", "mmt", mmt_layers, out)
+    p = "mmt.prev_pred_embeddings"
+    fp = "prev_pred_embeddings"
+    _emit(
+        [
+            (f"{p}.position_embeddings", f"{fp}/position_embeddings", "embed"),
+            (f"{p}.token_type_embeddings", f"{fp}/token_type_embeddings", "embed"),
+            (f"{p}.ans_layer_norm", f"{fp}/ans_ln", "ln"),
+            (f"{p}.ocr_layer_norm", f"{fp}/ocr_ln", "ln"),
+            (f"{p}.emb_layer_norm", f"{fp}/emb_ln", "ln"),
+            ("ocr_ptr_net.query", "ocr_ptr_net/query", "linear"),
+            ("ocr_ptr_net.key", "ocr_ptr_net/key", "linear"),
+        ],
+        sd, out,
+    )
+    cls_key = ("classifier.module.weight" if "classifier.module.weight" in sd
+               else "classifier.weight")
+    out["classifier/weight"] = sd[cls_key]
+    out["classifier/bias"] = sd[cls_key.replace("weight", "bias")]
+    return out
+
+
 def unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
     tree: Dict[str, Any] = {}
     for path, arr in flat.items():
