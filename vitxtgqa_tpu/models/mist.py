@@ -4,15 +4,18 @@
 Live path in the reference fork: question pooling -> two stacked ISTA
 blocks, each running a gumbel-categorical segment Selector over frames then
 a region Selector over the selected frames' OCR; the accumulated selection
-masks drive the shared MMT decode (single pos variant) with the ISTA
-question projection replacing txt_emb.
+masks drive the shared MMT decode (single pos variant) over the RAW
+text_bert embedding (the reference's _forward_mmt re-runs text_bert and
+overwrites the ISTA question projection before the MMT reads it,
+mist.py:273-279 vs :625 — so the projection is dead weight).
 
 Dead weight in the reference that is intentionally NOT re-created: the
 bundled CLIP ViT-B/32 tower, EncoderVid, the DistilBERT Transformer and the
-in-ISTA fusion transformer are all instantiated but never called in this
-fork's forward (mist.py:452-456, commented blocks mist_module.py:592-602);
-on-device ViT feature extraction lives in vitxtgqa_tpu/models/vit.py
-instead.
+in-ISTA fusion transformer plus the ISTA question/segment/patch embedding
+projections (computed then discarded, mist_module.py:587-604) are all
+instantiated but never affect this fork's outputs (mist.py:452-456,
+commented blocks mist_module.py:592-602); on-device ViT feature extraction
+lives in vitxtgqa_tpu/models/vit.py instead.
 
 Faithful quirks kept: Selector draws gumbel over *softmaxed* scores with
 replacement (duplicate picks allowed, masks can accumulate >1,
@@ -44,6 +47,14 @@ from vitxtgqa_tpu.ops.gumbel import gumbel_softmax, topk_mask
 from vitxtgqa_tpu.ops.masks import length_mask
 
 MIST_OCR_MASK_ONES = 25  # hard-coded pad target (reference: mist_module.py:575)
+
+
+def _pad_noise(rng, shape):
+    """Tie-break noise for the random OCR-mask padding
+    (reference: mist_module.py:570-585 pads with torch.randperm slots).
+    Module-level seam so parity tests can pin the padding order on both
+    frameworks."""
+    return jax.random.uniform(rng, shape)
 
 
 class Selector(nn.Module):
@@ -105,15 +116,9 @@ class ISTA(nn.Module):
     def setup(self):
         self.seg_selector = Selector(topk=self.frame_topk, dim=self.d_model)
         self.reg_selector = Selector(topk=self.ocr_topk, dim=self.d_model)
-        self.linear_video = nn.Dense(self.d_model)
-        self.norm_video = nn.LayerNorm(epsilon=1e-12)
-        self.linear_patch = nn.Dense(self.d_model)
-        self.norm_patch = nn.LayerNorm(epsilon=1e-12)
-        self.linear_question = nn.Dense(self.d_model)
-        self.norm_question = nn.LayerNorm(epsilon=1e-12)
 
-    def __call__(self, q_global, question, seg_feat, video_o):
-        b = question.shape[0]
+    def __call__(self, q_global, seg_feat, video_o):
+        b = q_global.shape[0]
         K = self.ocr_frame_num
 
         sel_frames, ground_frame_idx, ground_frame_mask = self.seg_selector(
@@ -134,13 +139,10 @@ class ISTA(nn.Module):
         # random pad to exactly MIST_OCR_MASK_ONES ones (clamped for grids
         # smaller than the reference's 960)
         n_ones = min(MIST_OCR_MASK_ONES, mask.shape[1])
-        noise = jax.random.uniform(self.make_rng("gumbel"), mask.shape)
+        noise = _pad_noise(self.make_rng("gumbel"), mask.shape)
         mask = topk_mask(mask * 1e6 + noise, n_ones)
 
-        question_proj = self.norm_question(
-            nn.gelu(self.linear_question(question), approximate=False)
-        )
-        return question_proj, ground_frame_idx, ground_frame_mask, mask
+        return ground_frame_idx, ground_frame_mask, mask
 
 
 @registry.register_model("mist")
@@ -256,8 +258,8 @@ class MIST(JointQAModel):
         # stacked ISTA rounds; only the last round's outputs feed the decoder
         # (the reference loop overwrites, mist.py:595-597)
         for ista in self.istas:
-            question_proj, ground_frame_idx, ground_frame_mask, ground_ocr_mask = (
-                ista(q_global, txt_emb, seg_feat, video_o)
+            ground_frame_idx, ground_frame_mask, ground_ocr_mask = (
+                ista(q_global, seg_feat, video_o)
             )
 
         # grounded boxes: the 25 masked slots in ascending order
@@ -272,12 +274,18 @@ class MIST(JointQAModel):
         box_valid = jnp.take_along_axis(ocr_mask, slots, axis=1)
         ground_box = ground_box * box_valid[..., None]
 
+        # the answering MMT consumes the RAW text_bert embedding: the
+        # reference's _forward_mmt re-runs text_bert and overwrites the
+        # ISTA question projection before the MMT reads it (mist.py:273-279
+        # clobbers the txt_emb set at mist.py:625), so question_proj and its
+        # projection params are dead weight — not re-created here (verified
+        # by tests/test_mist_full_model_parity.py)
         enc_mask = jnp.concatenate(
             [txt_mask, ground_frame_mask, ground_ocr_mask], axis=1
         )
         if train:
             scores = self._mmt_full(
-                question_proj, obj_in, ocr_in, enc_mask, ground_ocr_mask,
+                txt_emb, obj_in, ocr_in, enc_mask, ground_ocr_mask,
                 batch["train_prev_inds"], deterministic,
             )
         else:
@@ -287,7 +295,7 @@ class MIST(JointQAModel):
                 else self._greedy_decode
             )
             scores = decode(
-                question_proj, obj_in, ocr_in, enc_mask, ground_ocr_mask,
+                txt_emb, obj_in, ocr_in, enc_mask, ground_ocr_mask,
                 dec_len,
             )
 

@@ -274,6 +274,72 @@ def convert_transtr(sd: Dict[str, np.ndarray], text_layers: int = 3,
     return out
 
 
+def convert_mist(sd: Dict[str, np.ndarray], text_layers: int = 3,
+                 mmt_layers: int = 3,
+                 num_ista: int = 2) -> Dict[str, np.ndarray]:
+    """Reference MIST state dict (pythia/models/mist.py:30-625 +
+    modules/mist_module/mist_module.py) -> flat {path: array} for
+    models/mist.MIST.
+
+    Skipped reference parameters are dead in its forward: the bundled CLIP
+    tower, DistilBERT Transformers (MIST_VideoQA.ttrans, ISTA.mmt), the
+    position/token-type embedding stacks, vqproj, crossmodal_matching, and
+    each ISTA's segment/patch embedding projections (computed then
+    discarded by the caller, mist.py:595-597)."""
+    out: Dict[str, np.ndarray] = {}
+    convert_text_bert(sd, "text_bert", "text_bert", text_layers, out)
+
+    _emit(
+        [
+            ("frame_embeddings", "frame_embeddings", "embed"),
+            ("linear_obj_feat_to_mmt_in", "linear_obj_feat_to_mmt_in", "linear"),
+            ("obj_feat_layer_norm", "obj_feat_layer_norm", "ln"),
+            ("temporal_position_embeddings", "temporal_position_embeddings", "embed"),
+            ("track_position_embeddings", "track_position_embeddings", "embed"),
+            ("linear_ocr_feat_to_mmt_in", "linear_ocr_feat_to_mmt_in", "linear"),
+            ("linear_ocr_bbox_to_mmt_in", "linear_ocr_bbox_to_mmt_in", "linear"),
+            ("ocr_feat_layer_norm", "ocr_feat_layer_norm", "ln"),
+            ("ocr_bbox_layer_norm", "ocr_bbox_layer_norm", "ln"),
+            # question pooling head (mist.py:413, :502-509)
+            ("VideoQAmodel.self_attn", "q_self_attn", "linear"),
+        ],
+        sd, out,
+    )
+
+    for i in range(num_ista):
+        t, f = f"VideoQAmodel.ISTA.{i}", f"ista_{i}"
+        entries = []
+        for sel in ("seg_selector", "reg_selector"):
+            entries += [
+                (f"{t}.{sel}.linear_Q", f"{f}/{sel}/linear_Q", "linear"),
+                (f"{t}.{sel}.norm_Q", f"{f}/{sel}/norm_Q", "ln"),
+                (f"{t}.{sel}.linear_K", f"{f}/{sel}/linear_K", "linear"),
+                (f"{t}.{sel}.norm_K", f"{f}/{sel}/norm_K", "ln"),
+            ]
+        _emit(entries, sd, out)
+
+    convert_bert_encoder(sd, "mmt.encoder", "mmt", mmt_layers, out)
+    p = "mmt.prev_pred_embeddings"
+    fp = "prev_pred_embeddings"
+    _emit(
+        [
+            (f"{p}.position_embeddings", f"{fp}/position_embeddings", "embed"),
+            (f"{p}.token_type_embeddings", f"{fp}/token_type_embeddings", "embed"),
+            (f"{p}.ans_layer_norm", f"{fp}/ans_ln", "ln"),
+            (f"{p}.ocr_layer_norm", f"{fp}/ocr_ln", "ln"),
+            (f"{p}.emb_layer_norm", f"{fp}/emb_ln", "ln"),
+            ("ocr_ptr_net.query", "ocr_ptr_net/query", "linear"),
+            ("ocr_ptr_net.key", "ocr_ptr_net/key", "linear"),
+        ],
+        sd, out,
+    )
+    cls_key = ("classifier.module.weight" if "classifier.module.weight" in sd
+               else "classifier.weight")
+    out["classifier/weight"] = sd[cls_key]
+    out["classifier/bias"] = sd[cls_key.replace("weight", "bias")]
+    return out
+
+
 def unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
     tree: Dict[str, Any] = {}
     for path, arr in flat.items():
