@@ -661,3 +661,28 @@ def test_flash_merged_dropout_grads_interpret():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3
         )
+
+
+def test_ptr_scores_int8_batch_tiled_matches():
+    """Batch-tiled grid (incl. non-divisible batch) must be bit-identical
+    to the per-row form on the same inputs."""
+    from vitxtgqa_tpu.ops.attention import dequantize_kv, quantize_kv
+    from vitxtgqa_tpu.ops.pallas_attention import ptr_scores_int8
+
+    r = jax.random.split(jax.random.key(11), 3)
+    b = 5  # not a multiple of the tile: exercises the batch pad path
+    q = jax.random.normal(r[0], (b, 1, 64))
+    k = jax.random.normal(r[1], (b, 70, 64))
+    mask = (jax.random.uniform(r[2], (b, 70)) > 0.3).astype(jnp.float32)
+    k8, ks = quantize_kv(k)
+    want = jnp.einsum(
+        "bsd,bnd->bsn", q, dequantize_kv(k8, ks),
+        preferred_element_type=jnp.float32,
+    ) / jnp.sqrt(64.0) + mask[:, None, :]
+    for tile in (1, 2, 8):
+        got = ptr_scores_int8(q, k8, ks, mask, interpret=True,
+                              batch_tile=tile)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4,
+            err_msg=f"batch_tile={tile}",
+        )

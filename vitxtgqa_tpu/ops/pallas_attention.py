@@ -1062,19 +1062,21 @@ def decode_attention_int8(q, k8, ks, v8, vs, key_mask, step,
 
 def _ptr_scores_int8_kernel(q_ref, k8_ref, ks_ref, mask_ref, o_ref, *,
                             scale):
-    q = q_ref[0]  # [1, D]
-    kf = k8_ref[0].astype(q.dtype)  # [Np, D] (int8 values exact in bf16)
+    q = q_ref[...]  # [BT, 1, D]
+    kf = k8_ref[...].astype(q.dtype)  # [BT, Np, D] (int8 exact in bf16)
     s = jax.lax.dot_general(
-        q, kf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [1, Np]
+        q, kf, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [BT, 1, Np]
     # dequant scale and 1/sqrt(d) fold into one row-broadcast multiply;
     # the raw 0/1 mask then ADDS (the reference OcrPtrNet quirk — valid
     # slots get +1, not a -1e4 fill; reference: t2s.py:636-670)
-    o_ref[0] = s * (ks_ref[0] * scale) + mask_ref[0]
+    o_ref[...] = s * (ks_ref[...] * scale) + mask_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def ptr_scores_int8(q, k8, ks, mask, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "batch_tile"))
+def ptr_scores_int8(q, k8, ks, mask, interpret: bool = False,
+                    batch_tile: int = 8):
     """OcrPtrNet decode-step scores over int8 per-token-scaled keys.
 
     q [B, 1, D] query projection; k8 [B, N, D] int8 keys with scales
@@ -1087,40 +1089,50 @@ def ptr_scores_int8(q, k8, ks, mask, interpret: bool = False):
     every step: bf16 keys cost 10.2 GB over 12 steps at batch 576
     (13.5 ms, bandwidth-roofline); int8 halves that.
 
-    Measured NEGATIVE on the v5e (same-process A/B, 12 steps at the dims
-    above): 39.7 ms vs 34.3 ms for the bf16 einsum path — the [B]-grid
-    launches 576 tiny matvec programs whose per-program overhead exceeds
-    the halved key bytes.  The decode harness therefore keeps bf16 ptr
-    keys; a batch-tiled rewrite is the thing to try before re-enabling."""
+    Measured NEGATIVE on the v5e as a [B]-grid matvec (same-process A/B,
+    12 steps at the dims above): 39.7 ms vs 34.3 ms for the bf16 einsum
+    path — 576 tiny single-row programs lose more to per-program overhead
+    than the halved key bytes gain.  This version tiles ``batch_tile``
+    rows per program (batched dot_general in-kernel; 72 programs at batch
+    576 / tile 8, ~5.9 MB of int8 keys per block) to amortise that
+    overhead; the decode harness keeps bf16 ptr keys until a same-process
+    A/B on hardware shows the tiled form winning."""
     b, s_len, d = q.shape
     n = k8.shape[1]
     n_p = _round_up(n, _LANE)
     scale = 1.0 / (d ** 0.5)
+    bt = max(1, min(batch_tile, b))
+    b_p = _round_up(b, bt)
     if n_p != n:
         k8 = jnp.pad(k8, ((0, 0), (0, n_p - n), (0, 0)))
         ks = jnp.pad(ks, ((0, 0), (0, n_p - n)))
         mask = jnp.pad(mask, ((0, 0), (0, n_p - n)))
     ks = ks[:, None, :]  # [B, 1, Np]
     maskp = mask.astype(jnp.float32)[:, None, :]
+    if b_p != b:
+        q = jnp.pad(q, ((0, b_p - b), (0, 0), (0, 0)))
+        k8 = jnp.pad(k8, ((0, b_p - b), (0, 0), (0, 0)))
+        ks = jnp.pad(ks, ((0, b_p - b), (0, 0), (0, 0)))
+        maskp = jnp.pad(maskp, ((0, b_p - b), (0, 0), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_ptr_scores_int8_kernel, scale=scale),
-        grid=(b,),
+        grid=(b_p // bt,),
         in_specs=[
-            pl.BlockSpec((1, s_len, d), lambda bi: (bi, 0, 0)),
-            pl.BlockSpec((1, n_p, d), lambda bi: (bi, 0, 0)),
-            pl.BlockSpec((1, 1, n_p), lambda bi: (bi, 0, 0)),
-            pl.BlockSpec((1, 1, n_p), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((bt, s_len, d), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((bt, n_p, d), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((bt, 1, n_p), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((bt, 1, n_p), lambda bi: (bi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, s_len, n_p), lambda bi: (bi, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, s_len, n_p), jnp.float32),
+        out_specs=pl.BlockSpec((bt, s_len, n_p), lambda bi: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b_p, s_len, n_p), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n_p * d,
-            bytes_accessed=b * n_p * d,
+            flops=2 * b_p * n_p * d,
+            bytes_accessed=b_p * n_p * d,
             transcendentals=0,
         ),
         interpret=interpret,
     )(q, k8, ks, maskp)
-    return out[:, :, :n]
+    return out[:b, :, :n]
 
 
 # ---------------------------------------------------------------------------
