@@ -57,6 +57,10 @@ USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 FULL_EVAL = os.environ.get("BENCH_FULL_EVAL", "0") == "1"
 DECODE_KERNEL = os.environ.get("BENCH_DECODE_KERNEL", "1") == "1"
 KV_INT8 = os.environ.get("BENCH_KV_INT8", "1") == "1"
+# opt-in int8 W8A8 fused blocks (experimental serving mode — see
+# ops/attention.set_w8a8; default OFF so the headline stays the
+# checkpoint-faithful bf16 configuration)
+W8A8 = os.environ.get("BENCH_W8A8", "0") == "1"
 BENCH_TRAIN = os.environ.get("BENCH_TRAIN", "0") == "1"
 TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "48"))
 
@@ -86,12 +90,17 @@ def _run_once(batch_size: int, use_pallas: bool):
     from vitxtgqa_tpu.core.config import build_config
     from vitxtgqa_tpu.models.t2s import T2S
     from vitxtgqa_tpu.utils.synthetic import synthetic_batch
-    from vitxtgqa_tpu.ops.attention import set_decode_pallas, set_use_pallas
+    from vitxtgqa_tpu.ops.attention import (
+        set_decode_pallas,
+        set_use_pallas,
+        set_w8a8,
+    )
     from vitxtgqa_tpu.models.common import set_kv_cache_int8
 
     set_use_pallas(use_pallas)
     # A/B knob for the decode-step kernel alone (rides the pallas gate)
     set_decode_pallas(DECODE_KERNEL)
+    set_w8a8(W8A8)
     # int8 decode KV cache (default on — the recommended serving config):
     # halves decode-loop HBM reads; 942 vs 906 videos/s at batch 576.
     # BENCH_KV_INT8=0 for the exact-bf16 cache (parity runs).
@@ -267,6 +276,13 @@ def _run_train_bench(batch_size: int, use_pallas: bool):
         params, opt_state, loss = train_step(params, opt_state, dev_batch, w)
         _ = float(loss)
 
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(os.path.join(profile_dir, "train"))
+        params, opt_state, loss = train_step(params, opt_state, dev_batch, 99)
+        _ = float(loss)
+        jax.profiler.stop_trace()
+
     iters = max(ITERS, 5)
     iter_times = []
     for i in range(3):  # fenced per-iter diagnostics
@@ -345,6 +361,7 @@ def main():
             "pallas": use_pallas,
             "decode_kernel": DECODE_KERNEL and use_pallas,
             "kv_int8": KV_INT8,
+            "w8a8": W8A8,
             "full_eval": FULL_EVAL,
             "dtype": "bfloat16",
             **RECORD,

@@ -106,12 +106,18 @@ class TransformerLayer(nn.Module):
             # whole post-attention block in one kernel: attn_out matmul,
             # both residual+LN clusters, and the gelu intermediate stay in
             # VMEM (separately they profiled ~48ms/layer at batch 384)
-            from vitxtgqa_tpu.ops.pallas_ffn import fused_block
+            from vitxtgqa_tpu.ops.attention import w8a8_enabled
+            from vitxtgqa_tpu.ops.pallas_ffn import (
+                fused_block,
+                fused_block_w8a8,
+            )
 
             p = lambda m: m.variables["params"]
             po, p1, p2 = p(self.attn_out), p(self.ffn_in), p(self.ffn_out)
             ln1, ln2 = p(self.attn_ln), p(self.ffn_ln)
-            return fused_block(
+            # opt-in int8 W8A8 serving mode (ops.attention.set_w8a8)
+            block = fused_block_w8a8 if w8a8_enabled() else fused_block
+            return block(
                 x_q, ctx, po["kernel"], po["bias"], ln1["scale"],
                 ln1["bias"], p1["kernel"], p1["bias"], p2["kernel"],
                 p2["bias"], ln2["scale"], ln2["bias"],

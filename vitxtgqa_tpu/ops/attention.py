@@ -41,6 +41,25 @@ def pallas_enabled(use_pallas: bool = False) -> bool:
     return use_pallas or _GLOBAL_USE_PALLAS
 
 
+_GLOBAL_W8A8 = False
+
+
+def set_w8a8(enabled: bool) -> None:
+    """OPT-IN int8 W8A8 serving mode (config: training_parameters.tpu.w8a8,
+    BENCH_W8A8): the fused post-attention block runs its three matmuls
+    int8xint8 on the MXU (2x bf16 peak on v5e) with per-token activation
+    scales and per-output-channel weight scales.  Eval-only; adds ~0.5-1%
+    relative error per layer on top of bf16 — validate against real
+    checkpoints before production.  Trace-time flag: set BEFORE the eval
+    step is first compiled (same caveat as set_kv_cache_int8)."""
+    global _GLOBAL_W8A8
+    _GLOBAL_W8A8 = bool(enabled)
+
+
+def w8a8_enabled() -> bool:
+    return _GLOBAL_W8A8
+
+
 def _on_tpu() -> bool:
     """Mosaic kernels lower only on TPU backends (the axon tunnel proxies
     one); CPU/virtual-device runs silently use the XLA path instead."""

@@ -140,6 +140,46 @@ def ffn_kernel_ok(d: int, m: int, rows: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# W8A8 int8 fused block: per-token activation scales x per-channel weight
+# scales, int8xint8 MXU matmuls (2x bf16 peak on v5e)
+# ---------------------------------------------------------------------------
+
+
+def _quant_rows(x):
+    """[R, D] -> (int8 [R, D], f32 scales [R, 1]); symmetric per-row.
+
+    The amax reduce runs in the input dtype on purpose (same rationale as
+    ops.attention.quantize_kv: a single-use f32 cast fuses into its
+    consumer instead of materialising an f32 copy)."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax.astype(jnp.float32), 1e-6) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_weight(w):
+    """[D, M] -> (int8 [D, M], f32 per-output-channel scales [M])."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(
+        jnp.int8
+    )
+    return q, scale
+
+
+def _dot_w8a8(x, w8, w_scale):
+    """Quantize x per row, int8 matmul, rescale: ~ x @ (w8 * w_scale)."""
+    xq, xs = _quant_rows(x)
+    acc = jax.lax.dot_general(
+        xq, w8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * xs * w_scale
+
+
+# ---------------------------------------------------------------------------
 # fused post-attention block: attn_out -> +residual -> LN -> FFN -> +res -> LN
 # ---------------------------------------------------------------------------
 
@@ -264,4 +304,112 @@ def _block_impl(x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2, g2,
         interpret=interpret,
     )(x2, c2, wo.astype(dt), f32(bo), f32(s1), f32(g1), w1.astype(dt),
       f32(b1), w2.astype(dt), f32(b2), f32(s2), f32(g2))
+    return out[:r].reshape(orig_shape)
+
+
+def _block_w8a8_kernel(xq_ref, ctx_ref, wo_ref, wos_ref, bo_ref, s1_ref,
+                       g1_ref, w1_ref, w1s_ref, b1_ref, w2_ref, w2s_ref,
+                       b2_ref, s2_ref, g2_ref, o_ref, *, eps):
+    xq = xq_ref[...].astype(jnp.float32)  # [R, D]
+    attn = _dot_w8a8(
+        ctx_ref[...], wo_ref[...], wos_ref[...]
+    ) + bo_ref[...].astype(jnp.float32)
+    x = _ln(xq + attn, s1_ref[...].astype(jnp.float32),
+            g1_ref[...].astype(jnp.float32), eps)  # [R, D] fp32
+    h = _gelu(
+        _dot_w8a8(x, w1_ref[...], w1s_ref[...])
+        + b1_ref[...].astype(jnp.float32)
+    )
+    y = _dot_w8a8(h, w2_ref[...], w2s_ref[...]) + b2_ref[...].astype(
+        jnp.float32
+    )
+    out = _ln(x + y, s2_ref[...].astype(jnp.float32),
+              g2_ref[...].astype(jnp.float32), eps)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def block_w8a8_reference(x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2, g2,
+                         eps=1e-12):
+    """The exact quantized math of the W8A8 kernel in plain XLA (weight
+    quantization included) — the numeric oracle for the kernel and the
+    non-TPU fallback when w8a8 is forced on."""
+    f32 = jnp.float32
+    wo8, wos = quantize_weight(wo)
+    w18, w1s = quantize_weight(w1)
+    w28, w2s = quantize_weight(w2)
+    shape = x_q.shape
+    d = shape[-1]
+    xq2 = x_q.reshape(-1, d).astype(f32)
+    c2 = ctx.reshape(-1, d)
+    attn = _dot_w8a8(c2, wo8, wos) + bo.astype(f32)
+    x = _ln(xq2 + attn, s1.astype(f32), g1.astype(f32), eps)
+    h = _gelu(_dot_w8a8(x, w18, w1s) + b1.astype(f32))
+    y = _dot_w8a8(h, w28, w2s) + b2.astype(f32)
+    out = _ln(x + y, s2.astype(f32), g2.astype(f32), eps)
+    return out.astype(x_q.dtype).reshape(shape)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_block_w8a8(x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2, g2,
+                     eps: float = 1e-12, interpret: bool = False):
+    """W8A8 variant of fused_block: all three matmuls run int8xint8 on the
+    MXU (2x bf16 peak on v5e) with per-token activation scales quantized
+    in-VMEM and per-output-channel weight scales folded into the f32
+    epilogue.  Weight quantization happens here per call — [D, M]
+    elementwise work, noise next to the [rows, M] matmuls it feeds.
+
+    Eval-only and OPT-IN (training_parameters.tpu.w8a8 /
+    ops.attention.set_w8a8): int8 activations add ~0.5-1% relative error
+    per layer on top of bf16, which greedy decode tolerates on synthetic
+    checks (see tests/test_w8a8.py) but which must be validated against
+    real checkpoints before production use.  Quantized math is shared
+    bit-for-bit with block_w8a8_reference."""
+    orig_shape = x_q.shape
+    d = orig_shape[-1]
+    m = w1.shape[1]
+    dt = x_q.dtype
+    wo8, wos = quantize_weight(wo)
+    w18, w1s = quantize_weight(w1)
+    w28, w2s = quantize_weight(w2)
+    x2 = x_q.reshape(-1, d)
+    c2 = ctx.reshape(-1, d).astype(dt)
+    r = x2.shape[0]
+    rp = (r + _BLOCK_R - 1) // _BLOCK_R * _BLOCK_R
+    if rp != r:
+        x2 = jnp.pad(x2, ((0, rp - r), (0, 0)))
+        c2 = jnp.pad(c2, ((0, rp - r), (0, 0)))
+    f32 = lambda a: a.astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_block_w8a8_kernel, eps=eps),
+        grid=(rp // _BLOCK_R,),
+        in_specs=[
+            pl.BlockSpec((_BLOCK_R, d), lambda i: (i, 0)),
+            pl.BlockSpec((_BLOCK_R, d), lambda i: (i, 0)),
+            pl.BlockSpec((d, d), lambda i: (0, 0)),  # resident int8
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d, m), lambda i: (0, 0)),  # resident int8
+            pl.BlockSpec((m,), lambda i: (0,)),
+            pl.BlockSpec((m,), lambda i: (0,)),
+            pl.BlockSpec((m, d), lambda i: (0, 0)),  # resident int8
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((_BLOCK_R, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rp, d), dt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * (d * d + 2 * d * m),
+            bytes_accessed=3 * rp * d * 2 + d * d + 2 * d * m,
+            transcendentals=rp * m,
+        ),
+        interpret=interpret,
+    )(x2, c2, wo8, f32(wos), f32(bo), f32(s1), f32(g1), w18, f32(w1s),
+      f32(b1), w28, f32(w2s), f32(b2), f32(s2), f32(g2))
     return out[:r].reshape(orig_shape)

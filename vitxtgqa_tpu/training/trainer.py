@@ -234,6 +234,14 @@ class BaseTrainer:
 
             set_kv_cache_int8(True)
             self.logger.write("int8 decode KV cache enabled")
+        if tpu_cfg is not None and getattr(tpu_cfg, "w8a8", False):
+            from vitxtgqa_tpu.ops.attention import set_w8a8
+
+            set_w8a8(True)
+            self.logger.write(
+                "W8A8 int8 fused blocks enabled (experimental serving "
+                "mode — validate metrics against a bf16 run)"
+            )
         if getattr(tp, "reference_compat", False):
             from vitxtgqa_tpu.metrics.evaluators import set_reference_compat
 
