@@ -223,3 +223,32 @@ def test_prefetch_batches_keep_host_and_error_propagation():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="boom"):
         next(it)
+
+
+def test_prefetch_batches_abandoned_consumer_unblocks_worker():
+    """Closing the generator mid-stream must not leak a worker thread
+    blocked on a full queue (one leaked thread per abandoned evaluate)."""
+    import threading
+    import time as _time
+
+    from vitxtgqa_tpu.data.loader import prefetch_batches
+
+    produced = []
+    done = threading.Event()
+
+    def endless():
+        try:
+            for i in range(10_000):
+                produced.append(i)
+                yield {"tensors": {"x": np.full((1,), i)}}
+        finally:
+            done.set()
+
+    it = prefetch_batches(endless(), size=1)
+    next(it)
+    it.close()  # abandon mid-stream: worker is blocked in q.put
+    # the stop event + drain must let the worker exit promptly
+    assert done.wait(timeout=5.0), "prefetch worker thread leaked"
+    n = len(produced)
+    _time.sleep(0.3)
+    assert len(produced) == n  # and it stopped producing

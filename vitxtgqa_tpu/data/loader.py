@@ -163,6 +163,20 @@ def prefetch_batches(
     """
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=size)
     sentinel = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that gives up when the consumer is gone: a plain
+        # q.put would block a worker forever if the generator is
+        # abandoned mid-stream (eval raising, an early break), leaking
+        # one thread per abandoned prefetch
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def worker():
         try:
@@ -172,18 +186,27 @@ def prefetch_batches(
                     if keep_host:
                         batch["tensors_host"] = batch["tensors"]
                     batch["tensors"] = device_put(batch["tensors"])
-                q.put(batch)
+                if not _put(batch):
+                    return
         except BaseException as e:  # propagate into the consuming thread
-            q.put(("__prefetch_error__", e))
+            _put(("__prefetch_error__", e))
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
-            raise item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
+                raise item[1]
+            yield item
+    finally:
+        stop.set()
+        try:  # unblock a worker waiting on a full queue
+            while True:
+                q.get_nowait()
+        except queue_mod.Empty:
+            pass
