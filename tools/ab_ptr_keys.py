@@ -66,8 +66,16 @@ def main():
     # compile + warm up everything first
     for name, fn in fns.items():
         t0 = time.perf_counter()
-        out = fn(q0)
-        _ = float(jnp.sum(out.astype(jnp.float32)))
+        for attempt in range(3):  # remote-compile helper drops connections
+            try:
+                out = fn(q0)
+                _ = float(jnp.sum(out.astype(jnp.float32)))
+                break
+            except Exception as e:
+                if "UNAVAILABLE" not in str(e) or attempt == 2:
+                    raise
+                print(f"retrying {name} after: {str(e)[:120]}", flush=True)
+                time.sleep(60)
         print(f"compile+first {name}: {time.perf_counter() - t0:.1f}s",
               flush=True)
 
