@@ -26,6 +26,10 @@ BATCH = int(os.environ.get("BENCH_BATCH", "48"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 REMAT_MODES = os.environ.get("BENCH_REMAT", "1").split(",")
+# BENCH_VARIANT_SCAN=0 folds the 3 contrastive variants into one 3B batch
+# instead of scanning them sequentially — ~3x the peak activations, but at
+# small batches the fold's better chip utilisation can win
+VARIANT_SCAN = os.environ.get("BENCH_VARIANT_SCAN", "1") == "1"
 
 
 def main():
@@ -59,7 +63,7 @@ def main():
     num_final = 5050 + 960
     model = T2S(
         config=cfg, num_final_outputs=num_final, bos_idx=2,
-        compute_dtype=jnp.bfloat16, train_variant_scan=True,
+        compute_dtype=jnp.bfloat16, train_variant_scan=VARIANT_SCAN,
     )
     batch = synthetic_batch(batch=BATCH, num_final_outputs=num_final, seed=0)
 
@@ -138,6 +142,7 @@ def main():
                 "unit": "videos/sec/chip",
                 "pallas": USE_PALLAS,
                 "batch": BATCH,
+                "variant_scan": VARIANT_SCAN,
                 "blocks": blocks,
                 **record,
             }))

@@ -148,10 +148,24 @@ class TransformerLayer(nn.Module):
         # merged-head layout end to end: projections feed the attention (and
         # the KV export IS the decode-cache layout) without split/merge
         # transposes — those relayouts profiled at ~12ms/layer at batch 384
+        q_raw = self.query(x)
+        if not deterministic:
+            # names consumed by the selective-remat policies (set_remat
+            # "attn"/"attn_qkv"): no-ops unless a save_only_these_names
+            # policy is active on the surrounding jax.checkpoint
+            from jax.ad_checkpoint import checkpoint_name
+
+            q_raw = checkpoint_name(q_raw, "attn_q")
+            k_raw = checkpoint_name(k_raw, "attn_k")
+            v_raw = checkpoint_name(v_raw, "attn_v")
         ctx = mha_merged(
-            self.query(x), k_raw, v_raw, bias, h, dropout_rate=rate,
+            q_raw, k_raw, v_raw, bias, h, dropout_rate=rate,
             dropout_rng=rng, use_pallas=self.cfg.use_pallas,
         )
+        if not deterministic:
+            from jax.ad_checkpoint import checkpoint_name
+
+            ctx = checkpoint_name(ctx, "attn_ctx")
         y = self._finish(x, ctx, deterministic)
         return (y, (k_raw, v_raw)) if return_kv else y
 
@@ -210,13 +224,16 @@ def set_remat(enabled) -> None:
     per-layer activations from HBM.
 
     Accepts False/"none" (off), True/"full" (recompute everything — lowest
-    memory), or "dots" (jax.checkpoint_policies.dots_saveable: matmul
+    memory), "dots" (jax.checkpoint_policies.dots_saveable: matmul
     outputs stay resident, only the cheap elementwise/softmax work
-    recomputes — less recompute, more memory).  Measured at the
-    reference's batch 48 on the v5e (same-process sequential A/B):
-    full 82.8 videos/s vs dots 75.6 — the resident matmul outputs cost
-    more HBM traffic than the saved recompute, so "full" is the
-    recommended default."""
+    recomputes — less recompute, more memory), "attn" (save only the
+    flash-attention context per layer — the backward pass never re-runs
+    the attention forward kernel, everything else recomputes), or
+    "attn_qkv" ("attn" plus the Q/K/V projections, skipping their
+    recompute too).  Measured at the reference's batch 48 on the v5e
+    (same-process sequential A/B): full 82.8 videos/s vs dots 75.6 —
+    the resident matmul outputs cost more HBM traffic than the saved
+    recompute, so "full" is the recommended default."""
     global _GLOBAL_REMAT
     if isinstance(enabled, str):
         mode = enabled.lower()
@@ -274,6 +291,16 @@ class TransformerEncoder(nn.Module):
             kwargs = {}
             if _GLOBAL_REMAT == "dots":
                 kwargs["policy"] = jax.checkpoint_policies.dots_saveable
+            elif _GLOBAL_REMAT == "attn":
+                kwargs["policy"] = (
+                    jax.checkpoint_policies.save_only_these_names("attn_ctx")
+                )
+            elif _GLOBAL_REMAT == "attn_qkv":
+                kwargs["policy"] = (
+                    jax.checkpoint_policies.save_only_these_names(
+                        "attn_ctx", "attn_q", "attn_k", "attn_v"
+                    )
+                )
             for layer in self.layers:
                 x = nn.remat(
                     TransformerLayer.__call__, static_argnums=(3,), **kwargs
