@@ -231,9 +231,11 @@ def set_remat(enabled) -> None:
     the attention forward kernel, everything else recomputes), or
     "attn_qkv" ("attn" plus the Q/K/V projections, skipping their
     recompute too).  Measured at the reference's batch 48 on the v5e
-    (same-process sequential A/B): full 82.8 videos/s vs dots 75.6 —
-    the resident matmul outputs cost more HBM traffic than the saved
-    recompute, so "full" is the recommended default."""
+    (same-process sequential A/Bs, tools/bench_train.py): attn 96.3 /
+    attn_qkv 95.7 / full 90.0 / dots ~76-83 videos/s — "attn" is the
+    recommended training mode (the saved context is cheap to hold and
+    the flash forward is the most expensive recompute; saving Q/K/V too
+    costs more HBM traffic than their recompute)."""
     global _GLOBAL_REMAT
     if isinstance(enabled, str):
         mode = enabled.lower()
