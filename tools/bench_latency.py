@@ -1,0 +1,135 @@
+"""Serving latency: fenced single-call T2S inference at small batches.
+
+Throughput (bench.py) chains steps and fences once — the right number for
+saturated serving.  Production also cares about per-request latency at low
+occupancy, where the 12-step decode scan's launch overhead and the unfused
+small-batch matmuls dominate.  This tool measures the end-to-end jit call
+(H2D of nothing — the batch is resident — through D2H of the digest) at
+each batch size, and calibrates the tunnel's D2H fence floor with a
+trivial-digest jit so the device-time estimate can be read off
+(`latency_ms - fence_floor_ms`).
+
+Prints one JSON line:
+  {"metric": "t2s_serving_latency", "fence_floor_ms": ..,
+   "batches": {"1": {"p50_ms": .., "p90_ms": ..}, ...}}
+
+Env knobs: BENCH_LAT_BATCHES (comma list, default "1,8,48,192"),
+BENCH_LAT_REPS (default 20), BENCH_PALLAS / BENCH_KV_INT8 as in bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCHES = [
+    int(b) for b in os.environ.get("BENCH_LAT_BATCHES", "1,8,48,192").split(",")
+]
+REPS = int(os.environ.get("BENCH_LAT_REPS", "20"))
+USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
+KV_INT8 = os.environ.get("BENCH_KV_INT8", "1") == "1"
+
+
+def _pct(xs, q):
+    xs = sorted(xs)
+    i = min(len(xs) - 1, max(0, int(round(q * (len(xs) - 1)))))
+    return xs[i]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/vitxtgqa_jax_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from vitxtgqa_tpu.core.config import build_config
+    from vitxtgqa_tpu.models.common import set_kv_cache_int8
+    from vitxtgqa_tpu.models.t2s import T2S
+    from vitxtgqa_tpu.ops.attention import set_use_pallas
+    from vitxtgqa_tpu.utils.synthetic import synthetic_batch
+
+    set_use_pallas(USE_PALLAS)
+    set_kv_cache_int8(KV_INT8)
+
+    # fence-floor calibration: a jit whose device work is ~zero, so the
+    # fenced wall time IS the tunnel round-trip + D2H floor
+    trivial = jax.jit(lambda x: x * 2.0 + 1.0)
+    z = jnp.float32(3.0)
+    float(trivial(z))
+    floor_times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(trivial(z))
+        floor_times.append((time.perf_counter() - t0) * 1e3)
+    fence_floor = _pct(floor_times, 0.5)
+
+    cfg = build_config(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "configs", "t2s_abinet.yml")
+    ).model_attributes.t2s
+    num_final = 5050 + 960
+    model = T2S(config=cfg, num_final_outputs=num_final, bos_idx=2,
+                compute_dtype=jnp.bfloat16, inference_only=True)
+
+    results = {}
+    for bs in BATCHES:
+        batch = synthetic_batch(batch=bs, num_final_outputs=num_final, seed=0)
+        for key in ("video_feat", "mid_img_feat", "context_feature_0",
+                    "context_feature_1", "ocr_bbox_coordinates"):
+            batch[key] = batch[key].astype(jnp.bfloat16)
+        rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+                "gumbel": jax.random.key(2)}
+        params = jax.jit(lambda r, b: model.init(r, b, train=True))(
+            rngs, batch
+        )["params"]
+
+        @jax.jit
+        def step(params, batch, seed):
+            out = model.apply(
+                {"params": params}, batch, train=False,
+                rngs={"gumbel": jax.random.key(seed)},
+            )
+            return out["pos_scores"].astype(jnp.float32).sum() + out[
+                "ground_frame"
+            ].sum().astype(jnp.float32)
+
+        dev_batch = jax.device_put(batch)
+        t_c = time.perf_counter()
+        float(step(params, dev_batch, jnp.int32(0)))
+        compile_s = time.perf_counter() - t_c
+        for w in range(1, 5):  # tunnel warm-up
+            float(step(params, dev_batch, jnp.int32(w)))
+        times = []
+        for i in range(REPS):
+            t0 = time.perf_counter()
+            float(step(params, dev_batch, jnp.int32(100 + i)))
+            times.append((time.perf_counter() - t0) * 1e3)
+        results[str(bs)] = {
+            "p50_ms": round(_pct(times, 0.5), 2),
+            "p90_ms": round(_pct(times, 0.9), 2),
+            "device_ms_est": round(_pct(times, 0.5) - fence_floor, 2),
+            "first_call_s": round(compile_s, 2),
+        }
+        print(f"batch {bs}: {results[str(bs)]}", file=sys.stderr, flush=True)
+
+    print(json.dumps({
+        "metric": "t2s_serving_latency",
+        "unit": "ms",
+        "fence_floor_ms": round(fence_floor, 2),
+        "pallas": USE_PALLAS,
+        "kv_int8": KV_INT8,
+        "batches": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
