@@ -150,3 +150,44 @@ def test_block_reference_matches_flax_finish():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
     )
+
+
+def test_fused_block_tanh_matches_reference():
+    from vitxtgqa_tpu.ops.pallas_ffn import (
+        block_tanh_reference,
+        fused_block_tanh,
+    )
+
+    args = _block_case()
+    res = jax.random.normal(jax.random.key(7), args[0].shape, args[0].dtype)
+    got = fused_block_tanh(res, *args, interpret=True)
+    want = block_tanh_reference(res, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
+def test_encoder_tanh_residual_base_matches_manual():
+    """enc(x, tanh_residual_base=x) == x + tanh(enc(x)) on every code path
+    (plain, remat) — the T2S QTV joint-residual contract."""
+    from vitxtgqa_tpu.models import common as C
+    from vitxtgqa_tpu.ops.masks import MaskSpec
+
+    cfg = C.TransformerConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64,
+    )
+    enc = C.TransformerEncoder(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 12, 32))
+    spec = MaskSpec(key_mask=jnp.ones((2, 12), jnp.float32))
+    params = enc.init(jax.random.key(1), x, spec)["params"]
+    want = x + jnp.tanh(enc.apply({"params": params}, x, spec))
+    for mode in (False, "attn"):
+        C.set_remat(mode)
+        try:
+            got = enc.apply(
+                {"params": params}, x, spec, True, tanh_residual_base=x
+            )
+        finally:
+            C.set_remat(False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-6, err_msg=str(mode)
+        )

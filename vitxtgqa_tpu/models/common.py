@@ -101,7 +101,7 @@ class TransformerLayer(nn.Module):
             and x.shape[-1] == self.cfg.hidden_size
         )
 
-    def _finish(self, x_q, ctx, deterministic):
+    def _finish(self, x_q, ctx, deterministic, tanh_residual_base=None):
         if self._fused_block_ok(x_q, deterministic):
             # whole post-attention block in one kernel: attn_out matmul,
             # both residual+LN clusters, and the gelu intermediate stay in
@@ -109,28 +109,50 @@ class TransformerLayer(nn.Module):
             from vitxtgqa_tpu.ops.attention import w8a8_enabled
             from vitxtgqa_tpu.ops.pallas_ffn import (
                 fused_block,
+                fused_block_tanh,
                 fused_block_w8a8,
             )
 
             p = lambda m: m.variables["params"]
             po, p1, p2 = p(self.attn_out), p(self.ffn_in), p(self.ffn_out)
             ln1, ln2 = p(self.attn_ln), p(self.ffn_ln)
-            # opt-in int8 W8A8 serving mode (ops.attention.set_w8a8)
-            block = fused_block_w8a8 if w8a8_enabled() else fused_block
-            return block(
+            args = (
                 x_q, ctx, po["kernel"], po["bias"], ln1["scale"],
                 ln1["bias"], p1["kernel"], p1["bias"], p2["kernel"],
                 p2["bias"], ln2["scale"], ln2["bias"],
-                eps=self.cfg.layer_norm_eps,
             )
+            # opt-in int8 W8A8 serving mode (ops.attention.set_w8a8)
+            if w8a8_enabled():
+                y = fused_block_w8a8(*args, eps=self.cfg.layer_norm_eps)
+                if tanh_residual_base is not None:
+                    y = tanh_residual_base + jnp.tanh(y)
+                return y
+            if tanh_residual_base is not None:
+                from vitxtgqa_tpu.ops.pallas_ffn import tanh_epilogue_enabled
+
+                if tanh_epilogue_enabled():
+                    # T2S QTV joint residual fused as the kernel epilogue —
+                    # the separate res+tanh(h) elementwise pass over the
+                    # [B, L, D] buffer profiled at ~10.8 ms at batch 576
+                    return fused_block_tanh(
+                        tanh_residual_base, *args,
+                        eps=self.cfg.layer_norm_eps,
+                    )
+                y = fused_block(*args, eps=self.cfg.layer_norm_eps)
+                return tanh_residual_base + jnp.tanh(y)
+            return fused_block(*args, eps=self.cfg.layer_norm_eps)
         attn = self.hidden_drop(self.attn_out(ctx), deterministic=deterministic)
         x = self.attn_ln(x_q + attn)
         ffn = self.ffn_out(nn.gelu(self.ffn_in(x), approximate=False))
         ffn = self.hidden_drop(ffn, deterministic=deterministic)
-        return self.ffn_ln(x + ffn)
+        y = self.ffn_ln(x + ffn)
+        if tanh_residual_base is not None:
+            y = tanh_residual_base + jnp.tanh(y)
+        return y
 
     def __call__(self, x, bias, deterministic: bool = True,
-                 return_kv: bool = False, quantize: bool = False):
+                 return_kv: bool = False, quantize: bool = False,
+                 tanh_residual_base=None):
         h = self.cfg.num_attention_heads
         k_raw, v_raw = self.key(x), self.value(x)
         if return_kv and quantize:
@@ -166,7 +188,7 @@ class TransformerLayer(nn.Module):
             from jax.ad_checkpoint import checkpoint_name
 
             ctx = checkpoint_name(ctx, "attn_ctx")
-        y = self._finish(x, ctx, deterministic)
+        y = self._finish(x, ctx, deterministic, tanh_residual_base)
         return (y, (k_raw, v_raw)) if return_kv else y
 
     def decode(self, x_t, k_all, v_all, bias_t, deterministic: bool = True):
@@ -276,7 +298,14 @@ class TransformerEncoder(nn.Module):
             )
         )
 
-    def __call__(self, x, bias, deterministic: bool = True):
+    def __call__(self, x, bias, deterministic: bool = True,
+                 tanh_residual_base=None):
+        """``tanh_residual_base`` (optional [B, L, D]): return
+        ``base + tanh(stack(x))`` instead of ``stack(x)`` — the T2S QTV
+        joint-residual idiom.  On the eval fused-block path the epilogue
+        runs inside the last layer's Pallas kernel; the remat/PP training
+        paths compute it as plain XLA ops."""
+        base = tanh_residual_base
         if self._pp_eligible(deterministic):
             from vitxtgqa_tpu.ops.masks import MaskSpec
             from vitxtgqa_tpu.parallel.pipeline import pipeline_encoder_apply
@@ -286,9 +315,10 @@ class TransformerEncoder(nn.Module):
             layer_params = [
                 layer.variables["params"] for layer in self.layers
             ]
-            return pipeline_encoder_apply(
+            h = pipeline_encoder_apply(
                 self.cfg, layer_params, x, bias_t, mesh, axis, n_micro
             )
+            return h if base is None else base + jnp.tanh(h)
         if _GLOBAL_REMAT:
             kwargs = {}
             if _GLOBAL_REMAT == "dots":
@@ -307,8 +337,12 @@ class TransformerEncoder(nn.Module):
                 x = nn.remat(
                     TransformerLayer.__call__, static_argnums=(3,), **kwargs
                 )(layer, x, bias, deterministic)
-        else:
-            for layer in self.layers:
+            return x if base is None else base + jnp.tanh(x)
+        last = len(self.layers) - 1
+        for i, layer in enumerate(self.layers):
+            if base is not None and i == last:
+                x = layer(x, bias, deterministic, tanh_residual_base=base)
+            else:
                 x = layer(x, bias, deterministic)
         return x
 

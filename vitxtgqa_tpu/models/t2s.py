@@ -182,10 +182,13 @@ class T2S(JointQAModel):
             )
             mask = jnp.pad(mask, ((0, 0), (0, pad)))
         x = jnp.concatenate(pieces, axis=1)
-        h = self.qtv(x, MaskSpec(key_mask=mask), deterministic)
-        # one fused elementwise pass builds the whole residual buffer; the
-        # per-stream views below are slices of it
-        joint = x + jnp.tanh(h)
+        # the residual buffer joint = x + tanh(qtv(x)) is built inside the
+        # last QTV layer (fused-block kernel epilogue on the eval TPU path;
+        # plain XLA ops under remat/PP) — the per-stream views below are
+        # slices of it
+        joint = self.qtv(
+            x, MaskSpec(key_mask=mask), deterministic, tanh_residual_base=x
+        )
         lt, lo = txt_emb.shape[1], obj_in.shape[1]
         txt_emb = joint[:, :lt]
         obj_in = joint[:, lt : lt + lo]

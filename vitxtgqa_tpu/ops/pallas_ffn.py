@@ -307,6 +307,119 @@ def _block_impl(x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2, g2,
     return out[:r].reshape(orig_shape)
 
 
+_TANH_EPILOGUE = True
+
+
+def set_tanh_epilogue(enabled: bool) -> None:
+    """Trace-time A/B knob: route the T2S QTV joint residual through the
+    fused_block_tanh kernel (True, default) or compute res + tanh(h) as a
+    separate XLA elementwise pass after the plain fused_block (False).
+    Set before the eval step is first compiled (jit caches key on input
+    avals only, like set_use_pallas)."""
+    global _TANH_EPILOGUE
+    _TANH_EPILOGUE = bool(enabled)
+
+
+def tanh_epilogue_enabled() -> bool:
+    return _TANH_EPILOGUE
+
+
+def _block_tanh_kernel(res_ref, xq_ref, ctx_ref, wo_ref, bo_ref, s1_ref,
+                       g1_ref, w1_ref, b1_ref, w2_ref, b2_ref, s2_ref,
+                       g2_ref, o_ref, *, eps):
+    """_block_kernel with the QTV tanh-residual epilogue fused in:
+    out = res + tanh(block(x_q, ctx)).  Saves the separate elementwise
+    pass over the [B, L, D] joint buffer (read res + read h + write,
+    ~10.8 ms at serving batch 576)."""
+    xq = xq_ref[...].astype(jnp.float32)  # [R, D]
+    attn = jax.lax.dot_general(
+        ctx_ref[...], wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[...].astype(jnp.float32)
+    x = _ln(xq + attn, s1_ref[...].astype(jnp.float32),
+            g1_ref[...].astype(jnp.float32), eps)  # [R, D] fp32
+    xb = x.astype(o_ref.dtype)
+    h = jax.lax.dot_general(
+        xb, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)
+    h = _gelu(h).astype(o_ref.dtype)
+    y = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[...].astype(jnp.float32)
+    out = _ln(x + y, s2_ref[...].astype(jnp.float32),
+              g2_ref[...].astype(jnp.float32), eps)
+    # round to the output dtype BEFORE the tanh, exactly like the unfused
+    # path (the layer emits bf16, then the model computes res + tanh(h))
+    yb = out.astype(o_ref.dtype)
+    t = jnp.tanh(yb.astype(jnp.float32))
+    o_ref[...] = (res_ref[...].astype(jnp.float32) + t).astype(o_ref.dtype)
+
+
+def block_tanh_reference(res, x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2,
+                         s2, g2, eps=1e-12):
+    """Unfused oracle: literally res + tanh(block_reference(...)), the
+    model expression at models/t2s.py _apply_qtv."""
+    h = block_reference(x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2, g2,
+                        eps=eps)
+    return res + jnp.tanh(h)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_block_tanh(res, x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2,
+                     g2, eps: float = 1e-12, interpret: bool = False):
+    """fused_block + `res + tanh(out)` epilogue (T2S QTV joint residual,
+    models/t2s.py _apply_qtv).  Eval-only — no VJP is defined (the
+    training path computes the residual in XLA where remat handles it)."""
+    orig_shape = x_q.shape
+    d = orig_shape[-1]
+    m = w1.shape[1]
+    dt = x_q.dtype
+    x2 = x_q.reshape(-1, d)
+    c2 = ctx.reshape(-1, d).astype(dt)
+    r2 = res.reshape(-1, d).astype(dt)
+    r = x2.shape[0]
+    rp = (r + _BLOCK_R - 1) // _BLOCK_R * _BLOCK_R
+    if rp != r:
+        x2 = jnp.pad(x2, ((0, rp - r), (0, 0)))
+        c2 = jnp.pad(c2, ((0, rp - r), (0, 0)))
+        r2 = jnp.pad(r2, ((0, rp - r), (0, 0)))
+    f32 = lambda a: a.astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_block_tanh_kernel, eps=eps),
+        grid=(rp // _BLOCK_R,),
+        in_specs=[
+            pl.BlockSpec((_BLOCK_R, d), lambda i: (i, 0)),
+            pl.BlockSpec((_BLOCK_R, d), lambda i: (i, 0)),
+            pl.BlockSpec((_BLOCK_R, d), lambda i: (i, 0)),
+            pl.BlockSpec((d, d), lambda i: (0, 0)),  # resident
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d, m), lambda i: (0, 0)),  # resident
+            pl.BlockSpec((m,), lambda i: (0,)),
+            pl.BlockSpec((m, d), lambda i: (0, 0)),  # resident
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((_BLOCK_R, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rp, d), dt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * (d * d + 2 * d * m),
+            bytes_accessed=(4 * rp * d + d * d + 2 * d * m) * 2,
+            transcendentals=rp * (m + d),
+        ),
+        interpret=interpret,
+    )(r2, x2, c2, wo.astype(dt), f32(bo), f32(s1), f32(g1), w1.astype(dt),
+      f32(b1), w2.astype(dt), f32(b2), f32(s2), f32(g2))
+    return out[:r].reshape(orig_shape)
+
+
 def _block_w8a8_kernel(xq_ref, ctx_ref, wo_ref, wos_ref, bo_ref, s1_ref,
                        g1_ref, w1_ref, w1s_ref, b1_ref, w2_ref, w2s_ref,
                        b2_ref, s2_ref, g2_ref, o_ref, *, eps):
