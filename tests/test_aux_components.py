@@ -41,6 +41,20 @@ def test_early_stopping():
     assert es.best_iteration == 2
 
 
+def test_early_stopping_resume_from_meta():
+    """A resumed run's patience window continues from the checkpointed
+    best (reference: early_stopping.py:87-92 init_from_checkpoint)."""
+    es = EarlyStopping("acc", patience=2, minimize=False, should_stop=True)
+    es.init_from_meta({"best_iteration": 10, "best_metric_value": 0.8})
+    assert not es(0.7, 11)   # worse, within patience of iteration 10
+    assert not es(0.7, 12)
+    assert es(0.7, 13)       # 13 - 10 > patience
+    # missing keys are a no-op (fresh run / legacy meta)
+    es2 = EarlyStopping("acc", patience=2, minimize=False)
+    es2.init_from_meta({})
+    assert es2.best_value is None and es2.best_iteration == 0
+
+
 def test_lr_schedule_matches_reference_semantics():
     from vitxtgqa_tpu.training.optim import lr_multiplier_schedule
 

@@ -154,3 +154,48 @@ def test_threaded_loader_matches_serial(val_dataset):
                 bs["tensors"][key], bt["tensors"][key], err_msg=key
             )
         assert bs["host"]["context_tokens"] == bt["host"]["context_tokens"]
+
+
+def test_infinite_batches_resume_epoch(val_dataset):
+    """A stream resumed at start_epoch=k replays exactly the uninterrupted
+    stream's epoch-k-onward order (checkpoint resume re-seeds the sampler
+    like the reference: checkpoint.py:131-136, base_trainer.py:216-223)."""
+    from vitxtgqa_tpu.data.loader import infinite_batches
+
+    def qids(stream, n):
+        return [
+            tuple(next(stream)["tensors"]["question_id"].tolist())
+            for _ in range(n)
+        ]
+
+    loader = DataLoader(val_dataset, batch_size=2, shuffle=True, seed=3)
+    per_epoch = len(loader)
+    epochs_a = []
+    full = qids(
+        infinite_batches(loader, epoch_cb=epochs_a.append), 3 * per_epoch
+    )
+
+    loader_b = DataLoader(val_dataset, batch_size=2, shuffle=True, seed=3)
+    epochs_b = []
+    resumed = qids(
+        infinite_batches(loader_b, start_epoch=2, epoch_cb=epochs_b.append),
+        per_epoch,
+    )
+    assert resumed == full[2 * per_epoch :]
+    assert epochs_a[:3] == [0, 1, 2] and epochs_b[0] == 2
+
+
+def test_multi_dataset_iter_from(val_dataset):
+    """iter_from(k) continues the deterministic dataset schedule at step k."""
+    from vitxtgqa_tpu.data.multi_dataset import MultiDataset
+
+    la = DataLoader(val_dataset, batch_size=2, shuffle=True, seed=0)
+    lb = DataLoader(val_dataset, batch_size=2, shuffle=True, seed=1)
+    md = MultiDataset({"a": la, "b": lb}, proportional=False, seed=5)
+    schedule = [md.dataset_for_step(s) for s in range(10)]
+    assert schedule == [
+        md.dataset_for_step(s) for s in range(10)
+    ]  # pure function of (seed, step)
+    it = md.iter_from(7)
+    next(it)  # draws from schedule[7]'s loader without error
+    assert md.dataset_for_step(7) == schedule[7]

@@ -78,6 +78,11 @@ def test_resume_from_checkpoint(fixture_data, tmp_path, repo_root):
                   "training_parameters.snapshot_interval=2"])
     best = os.path.join(str(tmp_path), "save", "ckpt", "best")
     assert os.path.exists(best)
+    import json
+
+    with open(best + ".meta.json") as f:
+        meta = json.load(f)
+    assert "epoch" in meta  # resume restores the epoch-seeded data shuffle
 
     registry.clear_state()
     resume_args = common[:8] + ["--run_type", "train", "--resume_file", best] + common[8:]

@@ -134,11 +134,23 @@ class DataLoader:
                 pool.shutdown(wait=False)
 
 
-def infinite_batches(loader: DataLoader) -> Iterator[Dict[str, Any]]:
+def infinite_batches(
+    loader: DataLoader,
+    start_epoch: int = 0,
+    epoch_cb: Optional[Callable[[int], None]] = None,
+) -> Iterator[Dict[str, Any]]:
     """Epoch-incrementing endless iterator (the trainer counts iterations,
-    not epochs — reference: base_trainer.py:216-245)."""
-    for epoch in itertools.count():
+    not epochs — reference: base_trainer.py:216-245).
+
+    ``start_epoch`` resumes the epoch-seeded shuffle where a restored
+    checkpoint left off (the reference restores current_epoch from the
+    checkpoint and re-seeds the sampler with it: checkpoint.py:131-136,
+    base_trainer.py:216-223); ``epoch_cb`` reports each epoch boundary so
+    the trainer can persist the counter into the next checkpoint."""
+    for epoch in itertools.count(start_epoch):
         loader.set_epoch(epoch)
+        if epoch_cb is not None:
+            epoch_cb(epoch)
         yield from loader
 
 

@@ -48,8 +48,15 @@ class MultiDataset:
     def batch_for_step(self, step: int) -> Dict[str, Any]:
         return next(self._iters[self.dataset_for_step(step)])
 
-    def __iter__(self):
-        step = 0
+    def iter_from(self, step: int) -> Iterator[Dict[str, Any]]:
+        """Endless batch stream whose dataset schedule starts at a global
+        step — a resumed trainer passes its restored iteration so the
+        choice sequence matches an uninterrupted run (the schedule is a
+        pure function of (seed, step); the reference instead re-broadcasts
+        fresh rank-0 choices after resume, multi_dataset.py:176-195)."""
         while True:
             yield self.batch_for_step(step)
             step += 1
+
+    def __iter__(self):
+        return self.iter_from(0)

@@ -85,9 +85,10 @@ class Checkpoint:
 
     # -- save --------------------------------------------------------------
     def _write_meta(self, path: str, iteration: int, best_iteration: int,
-                    best_metric_value: Optional[float]):
+                    best_metric_value: Optional[float], epoch: int = 0):
         meta = {
             "iteration": iteration,
+            "epoch": epoch,
             "best_iteration": best_iteration,
             "best_metric_value": best_metric_value,
             **_git_metadata(self.repo_dir),
@@ -111,19 +112,22 @@ class Checkpoint:
 
     def save(self, state: Dict[str, Any], iteration: int,
              update_best: bool = False, best_iteration: int = 0,
-             best_metric_value: Optional[float] = None):
-        """state: {"params": ..., "opt_state": ...}; step metadata goes to meta.json."""
+             best_metric_value: Optional[float] = None, epoch: int = 0):
+        """state: {"params": ..., "opt_state": ...}; step metadata
+        (iteration + epoch, reference checkpoint.py:131-136) goes to
+        meta.json."""
         path = self._model_path(iteration)
         self._save_tree(path, state)
-        self._write_meta(path, iteration, best_iteration, best_metric_value)
+        self._write_meta(path, iteration, best_iteration, best_metric_value,
+                         epoch)
         if update_best:
             self._save_tree(self.best_path, state)
             self._write_meta(self.best_path, iteration, best_iteration,
-                             best_metric_value)
+                             best_metric_value, epoch)
 
-    def finalize(self, state: Dict[str, Any], iteration: int):
+    def finalize(self, state: Dict[str, Any], iteration: int, epoch: int = 0):
         self._save_tree(self.final_path, state)
-        self._write_meta(self.final_path, iteration, iteration, None)
+        self._write_meta(self.final_path, iteration, iteration, None, epoch)
         self.wait()
 
     # -- restore -----------------------------------------------------------

@@ -43,6 +43,16 @@ class EarlyStopping:
     def is_best(self, value: float) -> bool:
         return self.improved(value)
 
+    def init_from_meta(self, meta: dict) -> None:
+        """Restore best-so-far bookkeeping from checkpoint metadata so a
+        resumed run's patience window continues where it left off
+        (reference: early_stopping.py:87-92 init_from_checkpoint via
+        checkpoint.py:126)."""
+        if meta.get("best_iteration") is not None:
+            self.best_iteration = int(meta["best_iteration"])
+        if meta.get("best_metric_value") is not None:
+            self.best_value = float(meta["best_metric_value"])
+
     def get_info(self):
         return {
             "best_iteration": self.best_iteration,

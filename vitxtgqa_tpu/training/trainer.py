@@ -387,6 +387,7 @@ class BaseTrainer:
             should_stop=bool(getattr(tp, "should_early_stop", False)),
         )
         self.iteration = 0
+        self.current_epoch = 0
         self.max_iterations = int(getattr(tp, "max_iterations", 10000))
         self.log_interval = int(getattr(tp, "log_interval", 100))
         self.snapshot_interval = int(getattr(tp, "snapshot_interval", 1000))
@@ -410,8 +411,19 @@ class BaseTrainer:
         state = self.checkpoint.load(path, template=template)
         self.params = jax.device_put(state["params"], self.param_sharding)
         self.opt_state = state["opt_state"]
-        self.iteration = int(self.checkpoint.load_meta(path)["iteration"])
-        self.logger.write(f"restored checkpoint {path} @ iteration {self.iteration}")
+        meta = self.checkpoint.load_meta(path)
+        self.iteration = int(meta["iteration"])
+        # resume the epoch-seeded data shuffle where the run left off
+        # (reference: checkpoint.py:131-136 restores current_epoch,
+        # base_trainer.py:216-223 re-seeds the sampler with it)
+        self.current_epoch = int(meta.get("epoch", 0))
+        # continue the early-stopping patience window (reference:
+        # early_stopping.py:87-92 via checkpoint.py:126)
+        self.early_stopping.init_from_meta(meta)
+        self.logger.write(
+            f"restored checkpoint {path} @ iteration {self.iteration} "
+            f"(epoch {self.current_epoch})"
+        )
 
     # ------------------------------------------------------------------ train
     # large float feature fields whose first on-device op is .astype(bf16)
@@ -462,10 +474,17 @@ class BaseTrainer:
             f"training {self.config.model} for {self.max_iterations} iterations"
         )
         should_stop = False
+        def _track_epoch(epoch: int):
+            self.current_epoch = epoch
+
         batches = (
-            iter(self.multi_train)
+            self.multi_train.iter_from(self.iteration)
             if self.multi_train is not None
-            else infinite_batches(self.loaders["train"])
+            else infinite_batches(
+                self.loaders["train"],
+                start_epoch=self.current_epoch,
+                epoch_cb=_track_epoch,
+            )
         )
         train_timer = Timer()
         debug = getattr(self.tp, "logger_level", "info") == "debug"
@@ -586,7 +605,7 @@ class BaseTrainer:
         if "val" not in self.loaders:
             self.checkpoint.save(
                 self._state(), self.iteration, update_best=True,
-                best_iteration=self.iteration,
+                best_iteration=self.iteration, epoch=self.current_epoch,
             )
             return False
         loss_avg, metric_avg = self.evaluate("val")
@@ -609,6 +628,7 @@ class BaseTrainer:
             self._state(), self.iteration, update_best=is_best,
             best_iteration=self.early_stopping.best_iteration,
             best_metric_value=self.early_stopping.best_value,
+            epoch=self.current_epoch,
         )
         return stop
 
@@ -761,7 +781,9 @@ class BaseTrainer:
         (reference: base_trainer.py:280-291)."""
         if "train" in self.run_type:
             self._snapshot()
-            self.checkpoint.finalize(self._state(), self.iteration)
+            self.checkpoint.finalize(
+                self._state(), self.iteration, epoch=self.current_epoch
+            )
             best = self.checkpoint.best_path
             if os.path.exists(best):
                 self._restore(best)
