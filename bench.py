@@ -61,6 +61,10 @@ KV_INT8 = os.environ.get("BENCH_KV_INT8", "1") == "1"
 # ops/attention.set_w8a8; default OFF so the headline stays the
 # checkpoint-faithful bf16 configuration)
 W8A8 = os.environ.get("BENCH_W8A8", "0") == "1"
+# opt-in grounding-compacted serving (models/common.set_compact_serving;
+# MMT prefill+decode run on the 384 grounding-kept rows instead of the
+# full 1152 — documented ptr-score deviation, default OFF)
+COMPACT = os.environ.get("BENCH_COMPACT", "0") == "1"
 BENCH_TRAIN = os.environ.get("BENCH_TRAIN", "0") == "1"
 TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "48"))
 
@@ -95,9 +99,13 @@ def _run_once(batch_size: int, use_pallas: bool):
         set_use_pallas,
         set_w8a8,
     )
-    from vitxtgqa_tpu.models.common import set_kv_cache_int8
+    from vitxtgqa_tpu.models.common import (
+        set_compact_serving,
+        set_kv_cache_int8,
+    )
 
     set_use_pallas(use_pallas)
+    set_compact_serving(COMPACT)
     # A/B knob for the decode-step kernel alone (rides the pallas gate)
     set_decode_pallas(DECODE_KERNEL)
     set_w8a8(W8A8)
@@ -365,6 +373,7 @@ def main():
             "decode_kernel": DECODE_KERNEL and use_pallas,
             "kv_int8": KV_INT8,
             "w8a8": W8A8,
+            "compact": COMPACT,
             "full_eval": FULL_EVAL,
             "dtype": "bfloat16",
             **RECORD,

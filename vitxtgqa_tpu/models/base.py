@@ -141,7 +141,7 @@ class JointQAModel(nn.Module):
 
     def _greedy_decode(self, txt, obj, ocr, enc_mask, ocr_masks, dec_len: int,
                        n_variants: int = 1, argmax_variant: int = 0,
-                       joint=None):
+                       joint=None, embed_ocr=None, dynamic_scatter=None):
         """Encode once, then KV-cached greedy lax.scan (eval path).
 
         ``joint``, when given, is the pre-built lane-aligned sequence
@@ -149,7 +149,15 @@ class JointQAModel(nn.Module):
         residual buffer (T2S._apply_qtv) — so the concatenate below never
         re-materialises it (~5.4 ms/step at batch 576).  Rows past l0 may
         hold arbitrary finite values: they are masked everywhere and the
-        decoder overwrites their cache slots."""
+        decoder overwrites their cache slots.
+
+        Compact-serving hooks (see models/common.set_compact_serving):
+        ``ocr`` may be a grounding-gathered subset of the OCR rows; then
+        ``embed_ocr`` supplies the FULL OCR stream for the prev-pred copy
+        tables (decoded token ids index the original copy space) and
+        ``dynamic_scatter=(idx [B, n_compact], full_n)`` scatters each
+        step's compact copy scores back to the full copy space with the
+        never-selectable fill -1e4."""
         bN = txt.shape[0]
         b = bN // n_variants
         l0 = txt.shape[1] + obj.shape[1] + ocr.shape[1]
@@ -191,7 +199,7 @@ class JointQAModel(nn.Module):
         # together profiled at ~57ms/step at batch 384 when recomputed
         # inside the loop
         ans_tbl, ocr_tbl = self.prev_pred_embeddings.tables(
-            self.classifier.table(), ocr
+            self.classifier.table(), ocr if embed_ocr is None else embed_ocr
         )
         # ptr keys stay bf16: int8-with-per-token-scales via
         # ptr_scores_int8 measured 39.7 vs 34.3 ms over 12 steps on the
@@ -219,6 +227,14 @@ class JointQAModel(nn.Module):
             dynamic = self.ocr_ptr_net.scores_from_keys(
                 y_t, ptr_keys, ocr_masks
             )
+            if dynamic_scatter is not None:
+                idx, full_n = dynamic_scatter
+                full = jnp.full(
+                    dynamic.shape[:-1] + (full_n,), -1e4, dynamic.dtype
+                )
+                dynamic = jnp.put_along_axis(
+                    full, idx[:, None, :], dynamic, axis=-1, inplace=False
+                )
             scores_t = jnp.concatenate([fixed, dynamic], axis=-1)[:, 0, :]
             nxt = jnp.argmax(scores_t[lo : lo + b], axis=-1)
             nxtN = jnp.concatenate([nxt] * n_variants, axis=0)

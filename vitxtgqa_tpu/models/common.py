@@ -240,6 +240,36 @@ def kv_cache_int8_enabled() -> bool:
     return _GLOBAL_KV_INT8
 
 
+_GLOBAL_COMPACT_SERVING = False
+
+
+def set_compact_serving(enabled: bool) -> None:
+    """Grounding-compacted serving (config:
+    training_parameters.tpu.compact_serving) — the inference_only decode
+    gathers only the rows the pos grounding masks keep (exactly
+    frame_topk frames + ocr_topk OCR slots per frame + the question) and
+    runs the MMT prefill + KV-cached decode on that short sequence
+    (1152 -> 384 rows at production dims; see T2S._compact_decode).
+
+    DOCUMENTED DEVIATION: the reference's OcrPtrNet adds the raw 0/1 OCR
+    mask to the copy scores (t2s.py:665), so grounding-masked OCR slots
+    keep a live raw q.k score that can in principle win the greedy
+    argmax; the compact path never computes those rows and pins their
+    scores to -1e4.  Predictions agree whenever the reference's argmax
+    stays inside the grounding-selected set (measure with
+    tools/compact_agreement.py before enabling in production).  Exact
+    bug-for-bug runs should leave this off.
+
+    Trace-time flag like set_kv_cache_int8: set BEFORE the eval step is
+    first compiled."""
+    global _GLOBAL_COMPACT_SERVING
+    _GLOBAL_COMPACT_SERVING = bool(enabled)
+
+
+def compact_serving_enabled() -> bool:
+    return _GLOBAL_COMPACT_SERVING
+
+
 def set_remat(enabled) -> None:
     """Rematerialise transformer layers in the backward pass (config:
     training_parameters.tpu.remat) — trades extra FLOPs for dropping

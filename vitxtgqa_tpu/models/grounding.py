@@ -64,7 +64,9 @@ def temporal_grounding(
     """Top-k grounded frames (reference: spatio_temporal_grounding.py:26-68).
 
     Returns (ground_frame [B, topk] frame ids ascending-index order,
-    pos_topk_mask [B, F], neg_topk_mask [B, F]).
+    pos_topk_mask [B, F], neg_topk_mask [B, F], pos_idx [B, topk] the
+    frame positions the pos mask selects — the static-count gather list
+    the compact-serving path rides on).
     """
     score = attention_score(q_global, frame_feat, frame_mask)
     pos_mask, neg_mask = _gumbel_pos_neg(rng, score, frame_mask, tau)
@@ -77,7 +79,7 @@ def temporal_grounding(
 
     idx = topk_indices_sorted(pos_score, topk, largest=True)  # ascending
     ground_frame = jnp.take_along_axis(frame_id, idx, axis=1)
-    return ground_frame, pos_topk, neg_topk
+    return ground_frame, pos_topk, neg_topk, idx
 
 
 def frames_to_ocr_mask(ground_frame, temporal_id):
@@ -102,7 +104,10 @@ def spatial_grounding(
     """Top-k OCR per frame (reference: spatio_temporal_grounding.py:71-142).
 
     Returns (ground_ocr_box [B, F*ocr_topk, 4] in ascending-index order per
-    frame, pos_topk_mask [B, N], neg_topk_mask [B, N]).  Faithful quirks:
+    frame, pos_topk_mask [B, N], neg_topk_mask [B, N], pos_idx
+    [B, F*ocr_topk] the flat OCR slots the pos mask selects — exactly
+    ocr_topk per frame, the static-count gather list the compact-serving
+    path rides on).  Faithful quirks:
     pos mask is NOT re-multiplied by the validity mask (reference line 137 is
     commented out), neg mask is; top-k is taken in every frame, grounded or
     not.
@@ -128,7 +133,7 @@ def spatial_grounding(
         jnp.arange(frame_num)[None, :, None] * ocr_frame_num + idx
     ).reshape(b, -1)
     ground_box = jnp.take_along_axis(ocr_box, flat[..., None], axis=1)
-    return ground_box, pos_topk, neg_topk
+    return ground_box, pos_topk, neg_topk, flat
 
 
 class GroundingModule(nn.Module):
@@ -162,7 +167,7 @@ class GroundingModule(nn.Module):
         q_global = self.pool_question(q_feat, q_mask)
 
         rng_t = self.make_rng("gumbel")
-        ground_frame, pos_f, neg_f = temporal_grounding(
+        ground_frame, pos_f, neg_f, pos_f_idx = temporal_grounding(
             rng_t, q_global, frame_feat, frame_mask, frame_id,
             self.frame_topk, self.tau,
         )
@@ -172,7 +177,7 @@ class GroundingModule(nn.Module):
         new_ocr_mask = frames_to_ocr_mask(ground_frame, temporal_id)
 
         rng_s = self.make_rng("gumbel")
-        ground_box, pos_o, neg_o = spatial_grounding(
+        ground_box, pos_o, neg_o, pos_o_idx = spatial_grounding(
             rng_s, q_global, ocr_feat, ocr_box, new_ocr_mask,
             self.frame_num, self.ocr_frame_num, self.ocr_topk, self.tau,
         )
@@ -184,4 +189,9 @@ class GroundingModule(nn.Module):
             "neg_obj_mask": neg_frame_mask,
             "pos_ocr_mask": pos_o,
             "neg_ocr_mask": neg_o,
+            # static-count positions of the pos masks' ones (obj: exactly
+            # frame_topk rows; ocr: exactly ocr_topk per frame) — the
+            # compact-serving gather lists (see T2S._compact_decode)
+            "pos_obj_idx": pos_f_idx,
+            "pos_ocr_idx": pos_o_idx,
         }

@@ -195,6 +195,37 @@ class T2S(JointQAModel):
         ocr_in = joint[:, lt + lo : l0]
         return txt_emb, obj_in, ocr_in, joint
 
+    def _compact_decode(self, txt_emb, txt_mask, obj_in, ocr_in, g,
+                        dec_len: int):
+        """Grounding-compacted serving decode (set_compact_serving).
+
+        The pos-variant attention masks keep a STATIC number of rows —
+        exactly frame_topk frames and ocr_topk OCR slots per frame (the
+        reference takes per-frame top-k in every frame,
+        spatio_temporal_grounding.py:102-117) — so instead of running the
+        MMT prefill + KV-cached decode over the full masked joint sequence
+        (1152 rows at production dims), gather the kept rows out of the
+        QTV-updated streams and run on [txt | topk obj | topk ocr]
+        (384 rows).  Attention is permutation-equivariant over the key
+        set and the kept rows attend to exactly the same keys either way,
+        so kept-row outputs are identical; copy scores for never-kept OCR
+        slots are pinned to -1e4 (deviation vs the reference's raw-mask
+        quirk — see set_compact_serving)."""
+        take = lambda x, i: jnp.take_along_axis(x, i[..., None], axis=1)
+        oi = g["pos_obj_idx"].astype(jnp.int32)
+        ci = g["pos_ocr_idx"].astype(jnp.int32)
+        obj_c = take(obj_in, oi)
+        ocr_c = take(ocr_in, ci)
+        obj_mask_c = jnp.take_along_axis(g["pos_obj_mask"], oi, axis=1)
+        ocr_mask_c = jnp.take_along_axis(g["pos_ocr_mask"], ci, axis=1)
+        enc_mask_c = jnp.concatenate(
+            [txt_mask, obj_mask_c, ocr_mask_c], axis=1
+        )
+        return self._greedy_decode(
+            txt_emb, obj_c, ocr_c, enc_mask_c, ocr_mask_c, dec_len,
+            embed_ocr=ocr_in, dynamic_scatter=(ci, ocr_in.shape[1]),
+        )
+
     # ---- forward ----------------------------------------------------------
     def __call__(self, batch: Dict[str, jax.Array], train: bool = False):
         deterministic = not train
@@ -224,6 +255,18 @@ class T2S(JointQAModel):
         }
 
         if not train and self.inference_only:
+            from vitxtgqa_tpu.models.common import compact_serving_enabled
+
+            if (
+                compact_serving_enabled()
+                and not self.decode_recompute
+                and "pos_ocr_idx" in g
+            ):
+                pos = self._compact_decode(
+                    txt_emb, txt_mask, obj_in, ocr_in, g,
+                    batch["train_prev_inds"].shape[1],
+                )
+                return {"pos_scores": pos, **common}
             # serving path: ref/neg variants exist only to feed InfoNCE at
             # train/val; predictions consume pos_scores + grounding, so run
             # the single pos variant (~2x less encode/decode compute)

@@ -16,7 +16,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_PALLAS_MIN_KV = 512  # below this the fused kernel gains nothing
+# Kernel-engagement floor on the key length.  Tuned on the v5e: at the
+# framework's full joint length (1152) the flash kernel wins 15-27x; at
+# the compact-serving length (384, batch 576) it still wins ~3x over the
+# XLA fallback (which materialises [B, H, L, L] probs); far below that
+# the XLA fused path is fine and kernel launch overhead dominates.
+_PALLAS_MIN_KV = 256
 _GLOBAL_USE_PALLAS = False
 _GLOBAL_DECODE_PALLAS = True  # decode-step kernel rides the use_pallas gate
 _SP = (None, "sp")  # (mesh, axis) for sequence-parallel attention
@@ -138,7 +143,12 @@ def decode_mha(
         isinstance(spec, DecodeStepSpec)
         and (use_pallas or _GLOBAL_USE_PALLAS)
         and _GLOBAL_DECODE_PALLAS
-        and cache_len >= _PALLAS_MIN_KV
+        # a quantized cache must ALWAYS take the kernel: the XLA fallback
+        # dequantizes the whole cache every step AND the dequant read
+        # keeps the int8 buffers live across the scan's cache update,
+        # forcing a full-cache copy per step (profiled at 104+56 ms per
+        # eval step at compact-serving dims before this bypass)
+        and (quantized or cache_len >= _PALLAS_MIN_KV)
         and _on_tpu()
     )
     if pallas_ok:

@@ -234,6 +234,15 @@ class BaseTrainer:
 
             set_kv_cache_int8(True)
             self.logger.write("int8 decode KV cache enabled")
+        if tpu_cfg is not None and getattr(tpu_cfg, "compact_serving", False):
+            from vitxtgqa_tpu.models.common import set_compact_serving
+
+            set_compact_serving(True)
+            self.logger.write(
+                "grounding-compacted serving enabled (inference_only "
+                "decode runs on the grounding-kept rows; documented "
+                "ptr-score deviation — see set_compact_serving)"
+            )
         if tpu_cfg is not None and getattr(tpu_cfg, "w8a8", False):
             from vitxtgqa_tpu.ops.attention import set_w8a8
 
