@@ -32,6 +32,7 @@ BATCHES = [
 REPS = int(os.environ.get("BENCH_LAT_REPS", "20"))
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 KV_INT8 = os.environ.get("BENCH_KV_INT8", "1") == "1"
+COMPACT = os.environ.get("BENCH_COMPACT", "0") == "1"
 
 
 def _pct(xs, q):
@@ -52,13 +53,17 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from vitxtgqa_tpu.core.config import build_config
-    from vitxtgqa_tpu.models.common import set_kv_cache_int8
+    from vitxtgqa_tpu.models.common import (
+        set_compact_serving,
+        set_kv_cache_int8,
+    )
     from vitxtgqa_tpu.models.t2s import T2S
     from vitxtgqa_tpu.ops.attention import set_use_pallas
     from vitxtgqa_tpu.utils.synthetic import synthetic_batch
 
     set_use_pallas(USE_PALLAS)
     set_kv_cache_int8(KV_INT8)
+    set_compact_serving(COMPACT)
 
     # fence-floor calibration: a jit whose device work is ~zero, so the
     # fenced wall time IS the tunnel round-trip + D2H floor
@@ -127,6 +132,7 @@ def main():
         "fence_floor_ms": round(fence_floor, 2),
         "pallas": USE_PALLAS,
         "kv_int8": KV_INT8,
+        "compact": COMPACT,
         "batches": results,
     }))
 
