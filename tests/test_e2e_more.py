@@ -154,3 +154,37 @@ def test_t2s_train_variant_scan_via_trainer(fixture_data, tmp_path, repo_root):
     )
     assert trainer.model.train_variant_scan is True
     assert trainer.iteration == 2
+
+
+@pytest.mark.slow
+def test_t2s_evalai_predict_compact_serving(fixture_data, tmp_path, repo_root):
+    """evalai_inference routes through the serving (inference_only) model,
+    and compact_serving composes with it end to end: the prediction JSON
+    comes out of the grounding-compacted decode."""
+    sys.path.insert(0, repo_root)
+    import glob
+    import json
+
+    from tools.run import run
+    from vitxtgqa_tpu.core.registry import registry
+
+    registry.clear_state()
+    trainer = run(
+        [
+            "--config", os.path.join(repo_root, "configs", "t2s_abinet.yml"),
+            "--model", "t2s", "--datasets", "vtextgqa",
+            "--run_type", "inference",
+        ]
+        + _opts(fixture_data, tmp_path, "t2s")
+        + [
+            "training_parameters.evalai_inference=True",
+            "training_parameters.tpu.compact_serving=True",
+        ]
+    )
+    assert trainer.model.inference_only is True
+    reports = glob.glob(f"{tmp_path}/save/**/reports/*.json", recursive=True)
+    assert reports, "no prediction JSON written"
+    with open(reports[0]) as f:
+        preds = json.load(f)
+    assert preds and {"question_id", "answer", "grounded frame",
+                      "grounded box", "pred_source"} <= set(preds[0])
