@@ -80,7 +80,10 @@ class ServingEngine:
         # (JAX dispatch is async, so the device starts while we keep
         # grouping) and a completion thread blocks on device_get — H2D +
         # grouping of group n+1 overlap the device compute of group n
-        self._completion: "queue.Queue" = queue.Queue()
+        # bounded: at most 4 groups in flight on the device — the
+        # dispatcher blocks (backpressure) instead of piling up device
+        # buffers under overload
+        self._completion: "queue.Queue" = queue.Queue(maxsize=4)
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._completer = threading.Thread(target=self._complete_loop,
                                            daemon=True)
