@@ -28,3 +28,23 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def repo_root():
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(autouse=True)
+def _reset_trace_time_globals():
+    """Serving/training mode switches are process-wide trace-time globals
+    (set_compact_serving, set_kv_cache_int8, set_w8a8, set_remat, ...); a
+    test that flips one (directly or through the trainer's config knobs)
+    must not leak it into later tests — e.g. a leaked compact_serving
+    flag makes test_inference_only compare compacted vs full scores."""
+    yield
+    from vitxtgqa_tpu.models import common as _common
+    from vitxtgqa_tpu.ops import attention as _attention
+
+    _common.set_compact_serving(False)
+    _common.set_kv_cache_int8(False)
+    _common.set_remat(False)
+    _common.set_pipeline(None)
+    _attention.set_w8a8(False)
+    _attention.set_decode_pallas(True)
+    _attention.set_sequence_parallel(None)
