@@ -117,6 +117,15 @@ class ServingEngine:
         self._thread.join(timeout=10)
         self._completion.put(None)
         self._completer.join(timeout=30)
+        # fail any request that raced the shutdown instead of hanging its
+        # caller forever
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].set_exception(RuntimeError("engine stopped"))
 
     def __enter__(self):
         return self
