@@ -123,3 +123,17 @@ def test_all_reference_configs_parse_if_available():
         (model_key,) = list(cfg.model_attributes)
         assert model_key in registry.list("model"), (path, model_key)
         assert cfg.training_parameters.batch_size == 48
+
+
+def test_serving_preset_layers_over_flagship(repo_root):
+    """configs/t2s_serving.yml includes the flagship experiment config and
+    pre-sets the recommended serving knobs."""
+    from vitxtgqa_tpu.core.config import build_config
+
+    cfg = build_config(os.path.join(repo_root, "configs", "t2s_serving.yml"))
+    tp = cfg.training_parameters
+    assert tp.evalai_inference is True
+    assert tp.tpu.kv_cache_int8 is True and tp.tpu.compact_serving is True
+    # the flagship model/dataset schema rides along unchanged
+    assert int(cfg.model_attributes.t2s.mmt.num_hidden_layers) == 3
+    assert "vtextgqa" in cfg.dataset_attributes
