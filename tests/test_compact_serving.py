@@ -50,10 +50,13 @@ def _serving_outputs(compact: bool, gumbel_seed: int = 9):
     return out
 
 
-def test_compact_decode_matches_full_on_kept_rows():
-    full = _serving_outputs(compact=False)
-    comp = _serving_outputs(compact=True)
+def _assert_compact_agreement(full, comp):
+    """Shared compact-vs-full assertions; returns the per-row kept counts.
 
+    Traces may diverge only via the documented deviation (the full path's
+    argmax picking a never-kept OCR slot); on agreeing prefixes the fixed
+    vocab and kept-slot scores must match, and never-kept copy scores are
+    pinned to -1e4."""
     ps_full = np.asarray(full["pos_scores"], np.float32)  # [B, S, NV+N]
     ps_comp = np.asarray(comp["pos_scores"], np.float32)
     assert ps_full.shape == ps_comp.shape
@@ -64,13 +67,8 @@ def test_compact_decode_matches_full_on_kept_rows():
     )
 
     kept = ps_comp[..., NV:] > -1e4 + 1.0  # [B, S, N]
-    n_kept = kept[:, 0, :].sum(axis=-1)
-    # exactly ocr_topk per frame are kept, every step the same set
-    assert (n_kept == F * 2).all()  # tiny config: ocr_topk=2
-    assert (kept == kept[:, :1, :]).all()
+    assert (kept == kept[:, :1, :]).all()  # same set every step
 
-    # greedy traces: diverging is only legal via the documented deviation
-    # (the full path's argmax picking a never-kept OCR slot)
     am_full = ps_full.argmax(-1)
     am_comp = ps_comp.argmax(-1)
     b_idx, s_idx = np.nonzero(am_full != am_comp)
@@ -82,8 +80,6 @@ def test_compact_decode_matches_full_on_kept_rows():
             f"OCR slot: b={b} s={s} tok={tok}"
         )
 
-    # where traces agree the prefix is identical, so scores must match:
-    # fixed vocab exactly-ish, kept OCR slots too
     agree = np.ones(ps_full.shape[:2], bool)
     for b in range(ps_full.shape[0]):
         bad = np.nonzero(am_full[b] != am_comp[b])[0]
@@ -98,6 +94,66 @@ def test_compact_decode_matches_full_on_kept_rows():
     )
     assert (ps_comp[..., NV:][~kept] == -1e4).all()
     assert agree.any()
+    return kept[:, 0, :].sum(axis=-1)
+
+
+def test_compact_decode_matches_full_on_kept_rows():
+    full = _serving_outputs(compact=False)
+    comp = _serving_outputs(compact=True)
+    n_kept = _assert_compact_agreement(full, comp)
+    # exactly ocr_topk per frame are kept, every step the same set
+    assert (n_kept == F * 2).all()  # tiny config: ocr_topk=2
+
+
+def _wo_sg_outputs(compact: bool, batch, gumbel_seed: int = 9):
+    from vitxtgqa_tpu.models.common import set_compact_serving
+    from vitxtgqa_tpu.models.t2s_ablations import T2SWithoutSpatialGrounding
+
+    model = T2SWithoutSpatialGrounding(
+        config=tiny_config(), num_final_outputs=NV + N, bos_idx=2,
+        inference_only=True,
+    )
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "gumbel": jax.random.key(2)}
+    variables = model.init(rngs, batch, train=True)
+    set_compact_serving(compact)
+    try:
+        out = model.apply(
+            variables, batch, train=False,
+            rngs={"gumbel": jax.random.key(gumbel_seed)},
+        )
+    finally:
+        set_compact_serving(False)
+    return out
+
+
+def test_wo_sg_compact_matches_full_on_kept_rows():
+    """t2s_wo_sg keeps every OCR slot of the grounded frames: with unique
+    ground ids that is frame_topk * ocr_frame_num rows (tiny: 2*3=6)."""
+    batch = tiny_batch(0)
+    full = _wo_sg_outputs(compact=False, batch=batch)
+    comp = _wo_sg_outputs(compact=True, batch=batch)
+    n_kept = _assert_compact_agreement(full, comp)
+    assert (n_kept == 2 * K).all()
+
+
+def test_wo_sg_compact_with_duplicate_ground_ids():
+    """One real frame + frame_topk=2 forces a padding ground frame, whose
+    id maps 0->1 (frames_to_ocr_mask quirk) and collapses onto the real
+    frame 1 — the pos_ocr_idx gather list -1-pads and the padded rows must
+    neither attend nor clobber slot 0's copy score."""
+    batch = tiny_batch(0)
+    for i in range(batch["frame_id"].shape[0]):
+        batch["frame_id"][i, 1:] = 0
+        batch["frame_mask"][i, 1:] = 0
+        batch["temporal_id"][i, K:] = 0
+        batch["ocr_mask"][i] *= batch["temporal_id"][i] > 0
+        batch["ocr_mask"][i, 0] = 1.0  # keep slot 0 live: the clobber probe
+    full = _wo_sg_outputs(compact=False, batch=batch)
+    comp = _wo_sg_outputs(compact=True, batch=batch)
+    n_kept = _assert_compact_agreement(full, comp)
+    # both ground entries collapse onto frame 1 -> only its K slots kept
+    assert (n_kept == K).all()
 
 
 def test_compact_decode_recompute_oracle_untouched():

@@ -229,12 +229,17 @@ class JointQAModel(nn.Module):
             )
             if dynamic_scatter is not None:
                 idx, full_n = dynamic_scatter
+                # -1-padded gather lists (t2s_wo_sg compact) write into a
+                # trash slot that is sliced away: their rows are masked,
+                # and scattering them at a clamped index would clobber a
+                # real slot's score
+                safe = jnp.where(idx < 0, full_n, idx)
                 full = jnp.full(
-                    dynamic.shape[:-1] + (full_n,), -1e4, dynamic.dtype
+                    dynamic.shape[:-1] + (full_n + 1,), -1e4, dynamic.dtype
                 )
                 dynamic = jnp.put_along_axis(
-                    full, idx[:, None, :], dynamic, axis=-1, inplace=False
-                )
+                    full, safe[:, None, :], dynamic, axis=-1, inplace=False
+                )[..., :full_n]
             scores_t = jnp.concatenate([fixed, dynamic], axis=-1)[:, 0, :]
             nxt = jnp.argmax(scores_t[lo : lo + b], axis=-1)
             nxtN = jnp.concatenate([nxt] * n_variants, axis=0)

@@ -250,6 +250,10 @@ def set_compact_serving(enabled: bool) -> None:
     frame_topk frames + ocr_topk OCR slots per frame + the question) and
     runs the MMT prefill + KV-cached decode on that short sequence
     (1152 -> 384 rows at production dims; see T2S._compact_decode).
+    Also engages for t2s_wo_sg, whose grounding keeps every OCR slot of
+    the grounded frames (frame_topk*ocr_frame_num rows, -1-padded when
+    the padding-frame id 0->1 quirk collapses ground ids); t2s_wo_tg
+    keeps every slot per frame and cannot compact.
 
     DOCUMENTED DEVIATION: the reference's OcrPtrNet adds the raw 0/1 OCR
     mask to the copy scores (t2s.py:665), so grounding-masked OCR slots

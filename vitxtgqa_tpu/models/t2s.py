@@ -214,10 +214,20 @@ class T2S(JointQAModel):
         take = lambda x, i: jnp.take_along_axis(x, i[..., None], axis=1)
         oi = g["pos_obj_idx"].astype(jnp.int32)
         ci = g["pos_ocr_idx"].astype(jnp.int32)
-        obj_c = take(obj_in, oi)
-        ocr_c = take(ocr_in, ci)
-        obj_mask_c = jnp.take_along_axis(g["pos_obj_mask"], oi, axis=1)
-        ocr_mask_c = jnp.take_along_axis(g["pos_ocr_mask"], ci, axis=1)
+        # ablation gather lists may be -1-padded (t2s_wo_sg: duplicate
+        # ground-frame ids collapse onto fewer OCR rows): clamp the row
+        # gathers and zero the padded rows' masks — _greedy_decode's
+        # scatter routes their copy scores to a trash slot, so a clamped
+        # duplicate can neither attend nor clobber slot 0's score
+        oi_s, ci_s = jnp.maximum(oi, 0), jnp.maximum(ci, 0)
+        obj_c = take(obj_in, oi_s)
+        ocr_c = take(ocr_in, ci_s)
+        obj_mask_c = jnp.take_along_axis(
+            g["pos_obj_mask"], oi_s, axis=1
+        ) * (oi >= 0)
+        ocr_mask_c = jnp.take_along_axis(
+            g["pos_ocr_mask"], ci_s, axis=1
+        ) * (ci >= 0)
         enc_mask_c = jnp.concatenate(
             [txt_mask, obj_mask_c, ocr_mask_c], axis=1
         )

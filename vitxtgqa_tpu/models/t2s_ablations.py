@@ -110,7 +110,7 @@ class GroundingWithoutSpatial(GroundingModule):
         b = ocr_feat.shape[0]
 
         rng_t = self.make_rng("gumbel")
-        ground_frame, pos_f, neg_f, _ = temporal_grounding(
+        ground_frame, pos_f, neg_f, pos_f_idx = temporal_grounding(
             rng_t, q_global, frame_feat, frame_mask, frame_id,
             self.frame_topk, self.tau,
         )
@@ -137,6 +137,18 @@ class GroundingWithoutSpatial(GroundingModule):
             "neg_obj_mask": neg_frame_mask,
             "pos_ocr_mask": ground_ocr_mask,
             "neg_ocr_mask": neg_ocr_mask,
+            # compact-serving gather lists (T2S._compact_decode): the pos
+            # masks keep a statically-bounded row set.  pos_f_idx are the
+            # frame_topk grid positions the temporal top-k selects (selected
+            # padding frames gather mask 0); `slots` are the first
+            # frame_topk*ocr_frame_num true OCR slots of the frame-expansion
+            # mask, -1-padded when ground ids collapse (padding-frame id
+            # 0->1 maps onto real frame 1, frames_to_ocr_mask quirk) —
+            # completeness holds because dataset temporal ids are unique per
+            # grid frame (data/dataset.py sample_frames), so each ground id
+            # matches at most ocr_frame_num slots.
+            "pos_obj_idx": pos_f_idx,
+            "pos_ocr_idx": slots,
         }
 
 
