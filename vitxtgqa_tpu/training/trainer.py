@@ -417,8 +417,17 @@ class BaseTrainer:
 
     def _restore(self, path: str):
         template = {"params": self.params, "opt_state": self.opt_state}
-        state = self.checkpoint.load(path, template=template)
-        self.params = jax.device_put(state["params"], self.param_sharding)
+        # restore each array directly onto its mesh shards (orbax reads only
+        # the slice each host owns — the multi-host resume path; also skips
+        # the full-size host copy + device_put the naive restore pays)
+        rep = replicated(self.mesh)
+        shardings = {
+            "params": self.param_sharding,
+            "opt_state": jax.tree_util.tree_map(lambda _: rep, self.opt_state),
+        }
+        state = self.checkpoint.load(path, template=template,
+                                     shardings=shardings)
+        self.params = state["params"]
         self.opt_state = state["opt_state"]
         meta = self.checkpoint.load_meta(path)
         self.iteration = int(meta["iteration"])
