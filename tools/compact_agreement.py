@@ -28,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = int(os.environ.get("BENCH_BATCH", "576"))
 KERNEL_CHECK = os.environ.get("AGREEMENT_KERNEL_CHECK", "0") == "1"
+# "t2s" (default) or "t2s_wo_sg" — the two models with a compact path
+MODEL = os.environ.get("AGREEMENT_MODEL", "t2s")
 
 
 def main():
@@ -54,8 +56,14 @@ def main():
                      "configs", "t2s_abinet.yml")
     ).model_attributes.t2s
     num_final = 5050 + 960
-    model = T2S(config=cfg, num_final_outputs=num_final, bos_idx=2,
-                compute_dtype=jnp.bfloat16, inference_only=True)
+    if MODEL == "t2s_wo_sg":
+        from vitxtgqa_tpu.models.t2s_ablations import (
+            T2SWithoutSpatialGrounding as model_cls,
+        )
+    else:
+        model_cls = T2S
+    model = model_cls(config=cfg, num_final_outputs=num_final, bos_idx=2,
+                      compute_dtype=jnp.bfloat16, inference_only=True)
     batch = synthetic_batch(batch=BATCH, num_final_outputs=num_final, seed=0)
     for key in ("video_feat", "mid_img_feat", "context_feature_0",
                 "context_feature_1", "ocr_bbox_coordinates"):
