@@ -1,0 +1,294 @@
+"""Host input-pipeline throughput: the real VTextGQADataset.__getitem__ ->
+collate -> prefetch path at production shapes.
+
+The device-side rates (serving 973 videos/s, train ~96 videos/s — see
+BASELINE.md) are only real if the host can assemble batches at least that
+fast.  This bench materialises a production-shaped synthetic tree (64+
+frames/video, 15 OCR dets/frame -> the full 960-slot OCR grid, live 960x604
+PHOC through the C++ extension and 960x300 word-vector lookups, 64 per-frame
+[1,1024] feature npy loads) and measures:
+
+  * a per-stage breakdown (ms/sample): question tokenize, OCR npy parse +
+    grid assembly, word vectors, PHOC, feature IO, answer targets;
+  * end-to-end DataLoader samples/s over a worker sweep;
+  * the collate cost at the production batch size.
+
+Matches the reference's hot loops: per-sample OCR assembly
+(/root/reference/pythia/datasets/videoqa/vtextgqa/dataset.py:96-282),
+fastText + PHOC processors (processors.py:478-491,913-928).
+
+Word-vector caveat: without the 8GB wiki.en.bin this uses the hashed
+fallback (word_vectors.HashedVectors), which is cache-backed like real
+fastText lookups; the token pool here is large (5k words) so hit rates are
+cold-realistic on the first epoch.
+
+Usage:  python tools/bench_host_pipeline.py [--videos 64] [--batch 48]
+        [--workers 0,4,8,16] [--out HOSTBENCH.json]
+Emits one JSON line (and writes --out).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def _word_pool(n=5000, seed=0):
+    rng = np.random.default_rng(seed)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    pool = []
+    for _ in range(n):
+        L = int(rng.integers(2, 10))
+        pool.append("".join(letters[i] for i in rng.integers(0, 26, L)))
+    return pool
+
+
+def make_tree(root, n_videos, n_frames, dets_per_frame, feat_dim=1024,
+              n_questions_per_video=1, seed=0):
+    """Production-density synthetic tree in the real on-disk layout."""
+    marker = os.path.join(
+        root, f".hostbench_{n_videos}_{n_frames}_{dets_per_frame}_{feat_dim}"
+    )
+    if os.path.exists(marker):
+        return
+    rng = np.random.default_rng(seed)
+    pool = _word_pool()
+    split = "train"
+    os.makedirs(os.path.join(root, "fps10_ocr_detection", split), exist_ok=True)
+    os.makedirs(os.path.join(root, "vtextgqa", "qa_annotation"), exist_ok=True)
+    os.makedirs(os.path.join(root, "vtextgqa", "vocabulary"), exist_ok=True)
+
+    imdb = [{"metadata": {"version": "hostbench"}}]
+    width, height = 640, 480
+    for v in range(n_videos):
+        video_id = f"video{v:05d}"
+        ocr_info = {}
+        for f in range(1, n_frames + 1):
+            dets = []
+            for d in range(dets_per_frame):
+                x1 = float(rng.uniform(0, width - 60))
+                y1 = float(rng.uniform(0, height - 30))
+                w, h = float(rng.uniform(30, 60)), float(rng.uniform(10, 30))
+                points = [x1, y1, x1 + w, y1, x1 + w, y1 + h, x1, y1 + h]
+                dets.append({
+                    "points": points,
+                    "ocr": pool[int(rng.integers(len(pool)))],
+                    "ID": int(rng.integers(1, 200)),
+                })
+            ocr_info[str(f)] = dets
+        np.save(
+            os.path.join(root, "fps10_ocr_detection", split, video_id + ".npy"),
+            np.array(ocr_info, dtype=object),
+        )
+        vdir = os.path.join(root, "fps10_video_vit_feat", video_id)
+        os.makedirs(vdir, exist_ok=True)
+        for f in range(1, n_frames + 1):
+            np.save(
+                os.path.join(vdir, f"{f}.npy"),
+                rng.standard_normal((1, feat_dim)).astype(np.float32),
+            )
+        for q in range(n_questions_per_video):
+            frame = int(rng.integers(1, n_frames + 1))
+            det = ocr_info[str(frame)][int(rng.integers(dets_per_frame))]
+            imdb.append({
+                "question_id": v * 10 + q,
+                "video_id": video_id,
+                "question": "what does the sign say in the video?",
+                "answers": [det["ocr"], det["ocr"]],
+                "video_width": width,
+                "video_height": height,
+            })
+    np.save(
+        os.path.join(root, "vtextgqa", "qa_annotation",
+                     "ViteVQA_0.0.2_t1s2train.npy"),
+        np.array(imdb, dtype=object),
+    )
+    vocab = ["<pad>", "<unk>", "<s>", "</s>"] + pool[:5000]
+    with open(os.path.join(root, "vtextgqa", "vocabulary",
+                           "fixed_vocab_top5k.txt"), "w") as f:
+        f.write("\n".join(vocab))
+    # production word-vector path: a pre-extracted {token: vector} cache
+    # (tools/extract_word_vectors.py output format) so CachedVectors serves
+    # lookups like a real deployment would
+    np.savez(
+        os.path.join(root, "wordvec_cache.npz"),
+        tokens=np.array(pool + ["<pad>"], dtype=object),
+        vectors=rng.standard_normal((len(pool) + 1, 300)).astype(np.float32),
+    )
+    open(marker, "w").close()
+
+
+def build_dataset(root, wordvec="npz"):
+    from vitxtgqa_tpu.core.config import build_config
+    from vitxtgqa_tpu.data.dataset import VTextGQADataset
+
+    cfg = build_config(os.path.join(REPO, "configs", "t2s_abinet.yml"))
+    dcfg = cfg.dataset_attributes.vtextgqa
+    # redirect to the bench tree (ConfigNode is frozen -> rebuild as dict)
+    def plain(node):
+        if hasattr(node, "items"):
+            return {k: plain(v) for k, v in node.items()}
+        return node
+
+    d = plain(dcfg)
+    d["data_root_dir"] = root
+    d["image_features"] = {"train": ["fps10_video_vit_feat"]}
+    d["imdb_files"] = {"train": ["vtextgqa/qa_annotation/ViteVQA_0.0.2_t1s2train.npy"]}
+    d["ocr_infos"] = {"train": ["fps10_ocr_detection/train"]}
+    d["processors"]["answer_processor"]["params"]["vocab_file"] = (
+        "vtextgqa/vocabulary/fixed_vocab_top5k.txt"
+    )
+    if wordvec == "npz":
+        d["processors"]["context_processor"]["params"]["model_file"] = (
+            "wordvec_cache.npz"
+        )
+    from vitxtgqa_tpu.core.config import ConfigNode
+
+    return VTextGQADataset("train", ConfigNode(d))
+
+
+def stage_breakdown(ds, idx=0, reps=3):
+    """ms/sample for each hot stage (timed in isolation on one sample)."""
+    info = ds.imdb[idx]
+    video = str(info["video_id"])
+    out = {}
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ds.text_processor({"question": info["question"]})
+    out["question_tokenize"] = (time.perf_counter() - t0) / reps * 1e3
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ocr_info = np.load(
+            os.path.join(ds.ocr_info_dir, video + ".npy"), allow_pickle=True
+        ).item()
+    out["ocr_npy_load"] = (time.perf_counter() - t0) / reps * 1e3
+
+    tokens = []
+    for f in sorted(ocr_info, key=int)[: ds.num_frames]:
+        tokens += [d["ocr"] for d in ocr_info[f][: ds.frame_ocr_num]]
+    tokens = (tokens + ["<pad>"] * (960 - len(tokens)))[:960]
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ds.context_processor({"tokens": tokens})
+    out["word_vectors_960x300"] = (time.perf_counter() - t0) / reps * 1e3
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ds.phoc_processor({"tokens": tokens})
+    out["phoc_960x604"] = (time.perf_counter() - t0) / reps * 1e3
+
+    if ds.feat_dir:
+        vdir = os.path.join(ds.feat_dir, video)
+        frames = sorted(os.listdir(vdir))[: ds.num_frames]
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            for fn in frames:
+                np.load(os.path.join(vdir, fn), allow_pickle=True)
+        out["feature_io_64x"] = (time.perf_counter() - t0) / reps * 1e3
+
+    sample = {"context_tokens": tokens}
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ds.answer_processor({
+            "answers": list(info["answers"])[:2] * 5,
+            "context_tokens": tokens,
+        })
+    out["answer_targets"] = (time.perf_counter() - t0) / reps * 1e3
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ds.get_item(idx)
+    out["get_item_total"] = (time.perf_counter() - t0) / reps * 1e3
+    return out
+
+
+def throughput(ds, batch_size, workers, max_batches=8, prefetch=True):
+    """End-to-end DataLoader samples/s (includes collate + prefetch thread)."""
+    from vitxtgqa_tpu.data.loader import DataLoader, infinite_batches, prefetch_batches
+
+    loader = DataLoader(
+        ds, batch_size=batch_size, shuffle=True, seed=0,
+        num_workers=workers, pad_last=True,
+    )
+    it = infinite_batches(loader)
+    if prefetch:
+        it = prefetch_batches(it, size=2)
+    # warmup one batch (processor lazy caches, thread pool spin-up)
+    next(it)
+    n = 0
+    t0 = time.perf_counter()
+    for _ in range(max_batches):
+        b = next(it)
+        n += int(b["tensors"]["text"].shape[0])
+    dt = time.perf_counter() - t0
+    # drain the generator so its prefetch thread stops
+    it.close()
+    return n / dt, dt / max_batches
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/vitxtgqa_hostbench")
+    ap.add_argument("--videos", type=int, default=64)
+    ap.add_argument("--frames", type=int, default=70)
+    ap.add_argument("--dets", type=int, default=15)
+    ap.add_argument("--batch", type=int, default=48)
+    ap.add_argument("--workers", default="0,4,8,16,32")
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--out", default=os.path.join(REPO, "HOSTBENCH.json"))
+    args = ap.parse_args()
+
+    make_tree(args.root, args.videos, args.frames, args.dets)
+    ds = build_dataset(args.root)
+
+    breakdown = stage_breakdown(ds)
+    sweep = {}
+    best = (0.0, None)
+    for w in [int(x) for x in args.workers.split(",") if x != ""]:
+        sps, bt = throughput(ds, args.batch, w, max_batches=args.batches)
+        sweep[str(w)] = {"videos_per_sec": round(sps, 2),
+                         "sec_per_batch": round(bt, 4)}
+        if sps > best[0]:
+            best = (sps, w)
+
+    result = {
+        "metric": "host_pipeline_videos_per_sec",
+        "value": round(best[0], 2),
+        "unit": "videos/s",
+        "config": {
+            "batch": args.batch,
+            "best_workers": best[1],
+            "videos": args.videos,
+            "frames_per_video": args.frames,
+            "dets_per_frame": args.dets,
+            "worker_sweep": sweep,
+            "stage_ms_per_sample": {k: round(v, 3) for k, v in breakdown.items()},
+            "word_vector_backend": type(
+                getattr(ds.context_processor.processor, "vectors", None)
+                or getattr(ds.context_processor, "vectors", None)
+            ).__name__ if hasattr(ds, "context_processor") else "unknown",
+            "device_rates_for_reference": {
+                "train_videos_per_sec": 96.3,
+                "serving_videos_per_sec": 973,
+            },
+        },
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,12 @@ BATCH = int(os.environ.get("BENCH_BATCH", "576"))
 KERNEL_CHECK = os.environ.get("AGREEMENT_KERNEL_CHECK", "0") == "1"
 # "t2s" (default) or "t2s_wo_sg" — the two models with a compact path
 MODEL = os.environ.get("AGREEMENT_MODEL", "t2s")
+_VALID_MODELS = ("t2s", "t2s_wo_sg")
+if MODEL not in _VALID_MODELS:
+    raise SystemExit(
+        f"AGREEMENT_MODEL={MODEL!r} is not one of {_VALID_MODELS} — "
+        "refusing to silently probe t2s instead"
+    )
 
 
 def main():

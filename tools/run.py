@@ -37,6 +37,17 @@ def run(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    # multi-host process-group init.  TPU pods auto-initialize, so this is
+    # opt-in: set VITXTGQA_DISTRIBUTED=1 (coordinator/process env vars per
+    # jax.distributed docs) or `training_parameters.distributed_init: true`.
+    # Consumers (jax.process_count() in trainer/collectives) work either way.
+    if os.environ.get("VITXTGQA_DISTRIBUTED", "") == "1" or bool(
+        getattr(cfg.training_parameters, "distributed_init", False)
+    ):
+        import jax
+
+        jax.distributed.initialize()
+
     trainer_cls = registry.get_trainer_class(
         getattr(cfg.training_parameters, "trainer", "base_trainer")
     )

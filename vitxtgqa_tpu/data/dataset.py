@@ -86,6 +86,16 @@ class VTextGQADataset:
         self.frame_ocr_num = int(config.ocr_frame_num)
         self.feat_dim = int(getattr(config, "feat_dim", 1024))
 
+        # native threaded per-video feature reads + whole-video LRU replace
+        # the reference's 64 sequential np.loads (vtextgqa/dataset.py:268-282)
+        from vitxtgqa_tpu.data.feature_readers import VideoFeatureReader
+
+        self.feat_reader = (
+            VideoFeatureReader(self.feat_dir, feat_dim=self.feat_dim)
+            if self.feat_dir
+            else None
+        )
+
         self.init_processors()
 
     def _abs(self, path: str) -> str:
@@ -126,10 +136,10 @@ class VTextGQADataset:
         d = os.path.join(self.frames_dir, video)
         if os.path.isdir(d):
             return len(glob.glob(os.path.join(d, "*.jpg")))
-        if self.feat_dir:
-            fd = os.path.join(self.feat_dir, video)
-            if os.path.isdir(fd):
-                return len(glob.glob(os.path.join(fd, "*.npy")))
+        if self.feat_reader is not None:
+            n = self.feat_reader.frame_count(video)
+            if n:
+                return n
         return len(ocr_info)
 
     def get_item(self, idx: int) -> Dict[str, Any]:
@@ -184,7 +194,13 @@ class VTextGQADataset:
             for j in range(len(dets), K):
                 ocr_tokens_raw.append("<pad>")
                 bboxes.append([0.0, 0.0, 0.0, 0.0])
-            # temporal id covers padding slots too (reference: dataset.py:143)
+            # temporal id covers padding slots too (reference: dataset.py:143).
+            # INVARIANT the compact t2s_wo_sg serving path relies on: each
+            # temporal id appears on exactly one grid frame's K slots
+            # (sample_frames returns distinct frame indices), so a ground id
+            # matches at most ocr_frame_num slots and the first-k-true slot
+            # list in models/t2s_ablations.GroundingWithoutSpatial is
+            # complete (ADVICE r2).
             temporal[base : base + K] = frame_idx
             frame_id[fi] = frame_idx
             frame_mask[fi] = 1.0
@@ -223,16 +239,14 @@ class VTextGQADataset:
         phoc = self.phoc_processor({"tokens": ocr_tokens})
         sample["context_feature_1"] = phoc["text"]
 
-        # precomputed per-frame ViT features <video>/<frame>.npy [1, D]
+        # precomputed per-frame ViT features <video>/<frame>.npy [1, D],
+        # read in one native threaded call per video (feature_readers.py)
         feats = np.zeros((F, self.feat_dim), dtype=np.float32)
         mid_feat = np.zeros((1, self.feat_dim), dtype=np.float32)
-        if self.feat_dir:
-            vdir = os.path.join(self.feat_dir, video)
+        if self.feat_reader is not None:
+            rows = self.feat_reader.read_frames(video, idxs, pad_to=F)
+            feats[: rows.shape[0]] = rows[:F]
             for fi, frame_idx in enumerate(idxs):
-                path = os.path.join(vdir, f"{frame_idx}.npy")
-                feat = np.load(path, allow_pickle=True).astype(np.float32)
-                flat = feat.reshape(-1)[: self.feat_dim]
-                feats[fi, : flat.shape[0]] = flat  # zero-pad short features
                 if frame_idx == mid_frame_id:
                     mid_feat[0] = feats[fi]
         sample["video_feat"] = feats

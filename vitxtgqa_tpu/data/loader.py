@@ -60,11 +60,37 @@ class EpochSampler:
         return order[self.rank : total : self.world_size]
 
 
+_PROCESS_DATASETS: Dict[int, Any] = {}
+
+
+def _worker_init(key: int, dataset: Any) -> None:
+    """forkserver initializer: each worker unpickles the dataset once (the
+    warmed processor caches ride along) and serves fetches from it."""
+    _PROCESS_DATASETS[key] = dataset
+
+
+def _process_fetch(key: int, idx: int):
+    """Top-level fetch for process workers: the dataset object lives in the
+    module-global registry (set by `_worker_init` under forkserver, or
+    inherited through fork); only the small (key, idx) args and the sample
+    dict cross the pipe per call."""
+    return _PROCESS_DATASETS[key][idx]
+
+
 class DataLoader:
     """Assemble samples into collated fixed-shape batches.
 
-    `num_workers > 0` uses a thread pool for sample assembly (numpy releases
-    the GIL for the heavy parts: npy IO, PHOC C calls, vector lookups).
+    `num_workers > 0` parallelises sample assembly:
+      * ``worker_mode="process"`` (default) forks a worker pool, matching
+        the reference's torch DataLoader num_workers processes
+        (multi_dataset.py:254-272) — the per-sample python loops (OCR grid
+        assembly, m4c_answer matching) are GIL-bound, so processes are the
+        only way to scale them;
+      * ``worker_mode="thread"`` uses threads (numpy/npy IO and the
+        GIL-releasing native PHOC overlap, python stays serial) — the
+        fallback where fork is unsafe/unavailable.
+    Like the reference, per-worker answer-shuffle RNG streams make sample
+    contents independent of worker count only in aggregate, not bit-exactly.
     """
 
     def __init__(
@@ -79,12 +105,16 @@ class DataLoader:
         num_workers: int = 0,
         collate_fn: Callable = collate,
         pad_last: bool = False,
+        worker_mode: str = "process",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.drop_last = drop_last
         self.collate_fn = collate_fn
         self.num_workers = num_workers
+        self.worker_mode = worker_mode
+        self._pool = None
+        self._fetch_fn = None
         # pad the final partial batch to full size (repeating trailing
         # samples) so every batch has one static shape — no recompiles and
         # clean mesh sharding; host["n_valid"] records the real count
@@ -108,30 +138,93 @@ class DataLoader:
         batch["host"]["n_valid"] = n_real
         return batch
 
-    def __iter__(self) -> Iterator[Dict[str, Any]]:
-        indices = self.sampler.indices()
-        if self.num_workers > 0:
+    def _make_pool(self):
+        """Returns (pool, fetch_fn).  Pools persist across epochs (the
+        torch `persistent_workers=True` behaviour) — forkserver spawn +
+        dataset unpickle happens once per loader, not per epoch.
+
+        Process contexts: prefer `forkserver` (safe when JAX's threads are
+        already running — plain fork from a multithreaded trainer can
+        deadlock); fall back to `fork` (zero-copy dataset inheritance)
+        where forkserver is unavailable, then to threads."""
+        if self._pool is not None:
+            return self._pool, self._fetch_fn
+        if self.num_workers <= 0:
+            self._fetch_fn = lambda chunk: [self._fetch(i) for i in chunk]
+            return None, self._fetch_fn
+        fetch = None
+        if self.worker_mode == "process":
+            import multiprocessing as mp
+
+            methods = mp.get_all_start_methods()
+            method = (
+                "forkserver" if "forkserver" in methods
+                else "fork" if "fork" in methods else None
+            )
+            if method is not None:
+                from concurrent.futures import ProcessPoolExecutor
+
+                key = id(self.dataset)
+                if method == "forkserver":
+                    pool = ProcessPoolExecutor(
+                        max_workers=self.num_workers,
+                        mp_context=mp.get_context(method),
+                        initializer=_worker_init,
+                        initargs=(key, self.dataset),
+                    )
+                else:
+                    _PROCESS_DATASETS[key] = self.dataset
+                    pool = ProcessPoolExecutor(
+                        max_workers=self.num_workers,
+                        mp_context=mp.get_context(method),
+                    )
+                chunksize = max(1, self.batch_size // (4 * self.num_workers))
+
+                def fetch(chunk):
+                    return list(
+                        pool.map(
+                            _process_fetch,
+                            [key] * len(chunk),
+                            chunk,
+                            chunksize=chunksize,
+                        )
+                    )
+
+        if fetch is None:
             from concurrent.futures import ThreadPoolExecutor
 
             pool = ThreadPoolExecutor(max_workers=self.num_workers)
             fetch = lambda chunk: list(pool.map(self._fetch, chunk))
-        else:
-            pool = None
-            fetch = lambda chunk: [self._fetch(i) for i in chunk]
+        self._pool, self._fetch_fn = pool, fetch
+        return pool, fetch
+
+    def close(self) -> None:
+        """Shut down persistent worker pools (idempotent)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+            self._fetch_fn = None
+            _PROCESS_DATASETS.pop(id(self.dataset), None)
+
+    def __del__(self):
         try:
-            for start in range(0, len(indices), self.batch_size):
-                chunk = indices[start : start + self.batch_size]
-                n_real = len(chunk)
-                if n_real < self.batch_size:
-                    if self.drop_last:
-                        return
-                    if self.pad_last:
-                        pad = [chunk[-1]] * (self.batch_size - n_real)
-                        chunk = chunk + pad
-                yield self._emit(fetch(chunk), n_real)
-        finally:
-            if pool is not None:
-                pool.shutdown(wait=False)
+            self.close()
+        except Exception:
+            pass
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        indices = self.sampler.indices()
+        _, fetch = self._make_pool()
+        for start in range(0, len(indices), self.batch_size):
+            chunk = indices[start : start + self.batch_size]
+            n_real = len(chunk)
+            if n_real < self.batch_size:
+                if self.drop_last:
+                    return
+                if self.pad_last:
+                    pad = [chunk[-1]] * (self.batch_size - n_real)
+                    chunk = chunk + pad
+            yield self._emit(fetch(chunk), n_real)
 
 
 def infinite_batches(

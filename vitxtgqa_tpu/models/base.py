@@ -228,18 +228,30 @@ class JointQAModel(nn.Module):
                 y_t, ptr_keys, ocr_masks
             )
             if dynamic_scatter is not None:
-                idx, full_n = dynamic_scatter
-                # -1-padded gather lists (t2s_wo_sg compact) write into a
-                # trash slot that is sliced away: their rows are masked,
-                # and scattering them at a clamped index would clobber a
-                # real slot's score
-                safe = jnp.where(idx < 0, full_n, idx)
-                full = jnp.full(
-                    dynamic.shape[:-1] + (full_n + 1,), -1e4, dynamic.dtype
-                )
-                dynamic = jnp.put_along_axis(
-                    full, safe[:, None, :], dynamic, axis=-1, inplace=False
-                )[..., :full_n]
+                idx, full_n, may_pad = dynamic_scatter
+                if may_pad:
+                    # -1-padded gather lists (t2s_wo_sg compact) write into
+                    # a trash slot that is sliced away: their rows are
+                    # masked, and scattering them at a clamped index would
+                    # clobber a real slot's score
+                    safe = jnp.where(idx < 0, full_n, idx)
+                    full = jnp.full(
+                        dynamic.shape[:-1] + (full_n + 1,), -1e4, dynamic.dtype
+                    )
+                    dynamic = jnp.put_along_axis(
+                        full, safe[:, None, :], dynamic, axis=-1, inplace=False
+                    )[..., :full_n]
+                else:
+                    # plain t2s: idx is never -1 (static per-frame top-k
+                    # rows), so scatter lane-aligned at full_n without the
+                    # trash-slot widening (ADVICE r2: the +1 buffer is
+                    # unaligned and allocated every decode step)
+                    full = jnp.full(
+                        dynamic.shape[:-1] + (full_n,), -1e4, dynamic.dtype
+                    )
+                    dynamic = jnp.put_along_axis(
+                        full, idx[:, None, :], dynamic, axis=-1, inplace=False
+                    )
             scores_t = jnp.concatenate([fixed, dynamic], axis=-1)[:, 0, :]
             nxt = jnp.argmax(scores_t[lo : lo + b], axis=-1)
             nxtN = jnp.concatenate([nxt] * n_variants, axis=0)

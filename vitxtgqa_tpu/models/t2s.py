@@ -54,6 +54,10 @@ class T2S(JointQAModel):
     decode_recompute: bool = False
     # grounding mechanism; ablation subclasses swap this
     GROUNDING_CLS = GroundingModule
+    # whether the grounding's compact gather lists can be -1-padded (only
+    # the wo_sg ablation, whose ground ids can collapse onto fewer rows);
+    # selects the trash-slot scatter in JointQAModel._greedy_decode
+    COMPACT_IDX_MAY_PAD = False
     # serving mode: skip the ref/neg contrastive variants at eval (losses
     # can't be computed, predictions + grounding are identical)
     inference_only: bool = False
@@ -233,7 +237,8 @@ class T2S(JointQAModel):
         )
         return self._greedy_decode(
             txt_emb, obj_c, ocr_c, enc_mask_c, ocr_mask_c, dec_len,
-            embed_ocr=ocr_in, dynamic_scatter=(ci, ocr_in.shape[1]),
+            embed_ocr=ocr_in,
+            dynamic_scatter=(ci, ocr_in.shape[1], self.COMPACT_IDX_MAY_PAD),
         )
 
     # ---- forward ----------------------------------------------------------

@@ -160,3 +160,6 @@ class T2SWithoutTemporalGrounding(T2S):
 @registry.register_model("t2s_wo_sg")
 class T2SWithoutSpatialGrounding(T2S):
     GROUNDING_CLS = GroundingWithoutSpatial
+    # pos_ocr_idx may be -1-padded (ground-id collapse, see
+    # GroundingWithoutSpatial.__call__) -> trash-slot scatter in decode
+    COMPACT_IDX_MAY_PAD = True

@@ -151,7 +151,10 @@ PyObject* py_build_phoc_batch(PyObject*, PyObject* args) {
   }
   float* buf = reinterpret_cast<float*>(PyBytes_AS_STRING(out));
 
-  std::vector<int8_t> u;
+  // Extract UTF-8 pointers under the GIL (the `fast` reference keeps the
+  // strings alive), then release it for the compute loop so DataLoader
+  // worker threads overlap PHOC across samples.
+  std::vector<std::pair<const char*, Py_ssize_t>> words(n);
   for (Py_ssize_t i = 0; i < n; ++i) {
     PyObject* item = PySequence_Fast_GET_ITEM(fast, i);
     Py_ssize_t len = 0;
@@ -161,9 +164,15 @@ PyObject* py_build_phoc_batch(PyObject*, PyObject* args) {
       Py_DECREF(out);
       return nullptr;
     }
-    normalise(word, len, &u);
+    words[i] = {word, len};
+  }
+  Py_BEGIN_ALLOW_THREADS
+  std::vector<int8_t> u;
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    normalise(words[i].first, words[i].second, &u);
     phoc_fill(u, buf + i * kPhocDim);
   }
+  Py_END_ALLOW_THREADS
   Py_DECREF(fast);
   return out;
 }

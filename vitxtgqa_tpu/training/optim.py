@@ -33,22 +33,55 @@ def lr_multiplier_schedule(
     def schedule(step):
         import jax.numpy as jnp
 
+        # follow the ambient float dtype (f32 normally; f64 under x64) so
+        # trajectory-parity tests vs torch-double are elementwise-exact
+        ftype = jnp.result_type(float)
         step = jnp.asarray(step)
         if use_warmup and warmup_iterations > 0:
-            alpha = jnp.minimum(step, warmup_iterations) / float(warmup_iterations)
+            alpha = jnp.minimum(step, warmup_iterations).astype(ftype) / float(
+                warmup_iterations
+            )
             warm = warmup_factor * (1.0 - alpha) + alpha
         else:
             warm = 1.0
-        decay_pow = sum((step >= s).astype("float32") for s in lr_steps) if lr_steps else 0.0
+        # bisect_right(lr_steps, i_iter) == #(s <= i_iter) (general.py:28)
+        decay_pow = sum((step >= s).astype(ftype) for s in lr_steps) if lr_steps else 0.0
         decayed = lr_ratio ** decay_pow
+        # the reference's warmup branch is INCLUSIVE of warmup_iterations
+        # (general.py:23: `i_iter <= warmup_iterations`); at the boundary
+        # alpha==1 so warm==1.0, which only differs from the decay branch
+        # when an lr_step falls inside the warmup window.
         return jnp.where(
             jnp.asarray(use_warmup and warmup_iterations > 0)
-            & (step < warmup_iterations),
+            & (step <= warmup_iterations),
             warm,
             decayed,
         )
 
     return schedule
+
+
+def clip_by_global_norm_torch(max_norm: float) -> optax.GradientTransformation:
+    """Global-norm clipping with torch's exact semantics.
+
+    `torch.nn.utils.clip_grad_norm_` (used by the reference's clip_gradients,
+    general.py:32-53) scales by `min(1, max_norm / (total_norm + 1e-6))` —
+    note the 1e-6 added to the denominator, which optax's clip_by_global_norm
+    omits.  The epsilon shifts clipped gradients by ~1e-6 relative; matching
+    it makes optimizer trajectories elementwise-comparable to the reference.
+    """
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        import jax.numpy as jnp
+
+        g_norm = optax.global_norm(updates)
+        scale = jnp.minimum(1.0, max_norm / (g_norm + 1e-6))
+        return jax.tree_util.tree_map(lambda u: u * scale, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def scale_by_module_lr(scales: Dict[str, float]) -> optax.GradientTransformation:
@@ -72,15 +105,46 @@ def scale_by_module_lr(scales: Dict[str, float]) -> optax.GradientTransformation
 
 
 def module_lr_scales(model_config: Any) -> Dict[str, float]:
-    """Map top-level flax param keys to lr scales from model config."""
+    """Map top-level flax param keys to lr scales from model config.
+
+    The reference registers text_bert as a scaled-lr finetune module ONLY
+    when it was initialized from bert-base (`/root/reference/pythia/models/
+    t2s.py:47-59` — the append lives inside the
+    `text_bert_init_from_bert_base` branch); a randomly-initialized
+    text_bert trains at the full lr.  The mmt scale is unconditional
+    (t2s.py:124-127).  Caught by test_train_trajectory_parity (the torch
+    trajectory moved text_bert 10x more than the scaled optax chain).
+    """
     scales = {}
     text_scale = getattr(model_config, "lr_scale_text_bert", None)
-    if text_scale is not None:
+    if text_scale is not None and bool(
+        getattr(model_config, "text_bert_init_from_bert_base", True)
+    ):
         scales["text_bert"] = float(text_scale)
     mmt_scale = getattr(model_config, "lr_scale_mmt", None)
     if mmt_scale is not None and float(mmt_scale) != 1.0:
         scales["mmt"] = float(mmt_scale)
     return scales
+
+
+def assert_scales_resolve(scales: Dict[str, float], params: Any) -> None:
+    """Fail loudly if a configured lr scale does not land on a param subtree.
+
+    The reference builds explicit parameter groups
+    (`/root/reference/pythia/models/t2s.py:356-376`), so a renamed module
+    would raise there; `scale_by_module_lr` keys by top-level flax name and
+    would otherwise silently no-op (the text_bert 0.1x would be lost).
+    """
+    if not scales:
+        return
+    top = set(params.keys()) if hasattr(params, "keys") else set()
+    missing = [k for k in scales if k not in top]
+    if missing:
+        raise ValueError(
+            f"module_lr_scales keys {missing} do not match any top-level "
+            f"param module (available: {sorted(top)}); the configured lr "
+            "scaling would silently not apply."
+        )
 
 
 def build_optimizer(
@@ -109,11 +173,16 @@ def build_optimizer(
     if getattr(tp, "clip_gradients", False):
         max_norm = getattr(tp, "max_grad_l2_norm", None)
         if max_norm:
-            chain.append(optax.clip_by_global_norm(float(max_norm)))
+            chain.append(clip_by_global_norm_torch(float(max_norm)))
     if wd > 0:
-        chain.append(optax.adamw(schedule, eps=eps, weight_decay=wd))
-    else:
-        chain.append(optax.adam(schedule, eps=eps))
+        # torch.optim.Adam's weight_decay is L2-COUPLED: wd*param is added
+        # to the (already clipped) gradient BEFORE the moment updates — not
+        # AdamW's decoupled decay.  Reference: torch.optim.Adam built in
+        # /root/reference/pythia/utils/build_utils.py:54-83 with the config's
+        # weight_decay.  All shipped configs use wd=0, but any wd>0 config
+        # must reproduce the coupled semantics.
+        chain.append(optax.add_decayed_weights(wd))
+    chain.append(optax.adam(schedule, eps=eps))
     if model_config is not None:
         scales = module_lr_scales(model_config)
         if scales:

@@ -143,7 +143,8 @@ class BaseTrainer:
                 ds, batch_size=batch_size, shuffle=(split == "train"),
                 seed=self.seed, drop_last=(split == "train"),
                 pad_last=(split != "train"),
-                num_workers=min(workers, 8),
+                num_workers=min(workers, 16),
+                worker_mode=str(getattr(tp, "worker_mode", "process")),
                 rank=rank, world_size=n_proc,
             )
         if not self.datasets:
@@ -323,6 +324,12 @@ class BaseTrainer:
         )
 
     def _load_optimizer(self):
+        from vitxtgqa_tpu.training.optim import (
+            assert_scales_resolve,
+            module_lr_scales,
+        )
+
+        assert_scales_resolve(module_lr_scales(self.model_cfg), self.params)
         self.tx, self.lr_schedule = build_optimizer(
             self.config.optimizer_attributes, self.tp, self.model_cfg
         )
