@@ -214,18 +214,19 @@ def stage_breakdown(ds, idx=0, reps=3):
     return out
 
 
-def throughput(ds, batch_size, workers, max_batches=8, prefetch=True):
+def throughput(ds, batch_size, workers, mode="process", max_batches=8,
+               prefetch=True):
     """End-to-end DataLoader samples/s (includes collate + prefetch thread)."""
     from vitxtgqa_tpu.data.loader import DataLoader, infinite_batches, prefetch_batches
 
     loader = DataLoader(
         ds, batch_size=batch_size, shuffle=True, seed=0,
-        num_workers=workers, pad_last=True,
+        num_workers=workers, worker_mode=mode, pad_last=True,
     )
     it = infinite_batches(loader)
     if prefetch:
         it = prefetch_batches(it, size=2)
-    # warmup one batch (processor lazy caches, thread pool spin-up)
+    # warmup one batch (processor lazy caches, worker pool spin-up)
     next(it)
     n = 0
     t0 = time.perf_counter()
@@ -235,6 +236,7 @@ def throughput(ds, batch_size, workers, max_batches=8, prefetch=True):
     dt = time.perf_counter() - t0
     # drain the generator so its prefetch thread stops
     it.close()
+    loader.close()
     return n / dt, dt / max_batches
 
 
@@ -257,11 +259,15 @@ def main():
     sweep = {}
     best = (0.0, None)
     for w in [int(x) for x in args.workers.split(",") if x != ""]:
-        sps, bt = throughput(ds, args.batch, w, max_batches=args.batches)
-        sweep[str(w)] = {"videos_per_sec": round(sps, 2),
-                         "sec_per_batch": round(bt, 4)}
-        if sps > best[0]:
-            best = (sps, w)
+        for mode in (("process", "thread") if w > 0 else ("serial",)):
+            m = "thread" if mode == "serial" else mode
+            sps, bt = throughput(ds, args.batch, w, mode=m,
+                                 max_batches=args.batches)
+            key = f"{mode}:{w}" if w > 0 else "0"
+            sweep[key] = {"videos_per_sec": round(sps, 2),
+                          "sec_per_batch": round(bt, 4)}
+            if sps > best[0]:
+                best = (sps, key)
 
     result = {
         "metric": "host_pipeline_videos_per_sec",
@@ -276,9 +282,9 @@ def main():
             "worker_sweep": sweep,
             "stage_ms_per_sample": {k: round(v, 3) for k, v in breakdown.items()},
             "word_vector_backend": type(
-                getattr(ds.context_processor.processor, "vectors", None)
-                or getattr(ds.context_processor, "vectors", None)
-            ).__name__ if hasattr(ds, "context_processor") else "unknown",
+                getattr(ds.context_processor, "stov", None)
+            ).__name__,
+            "host_cores": os.cpu_count(),
             "device_rates_for_reference": {
                 "train_videos_per_sec": 96.3,
                 "serving_videos_per_sec": 973,

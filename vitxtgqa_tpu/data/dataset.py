@@ -283,11 +283,19 @@ class VTextGQADataset:
         registry.register(f"{self._name}_answer_processor", self.answer_processor)
 
 
-def collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+def collate(
+    samples: List[Dict[str, Any]],
+    cast: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
     """Stack numpy fields along a new batch dim; keep host fields as lists.
 
     Replaces SampleList/BatchCollator (reference: pythia/common/sample.py:58-326,
     batch_collator.py:5-15).  Output: {"tensors": {...}, "host": {...}}.
+
+    ``cast`` maps tensor keys to an output dtype: stacking assigns rows into
+    a pre-allocated buffer of that dtype, fusing the batch copy with the
+    downstream cast (the trainer's bf16 feature pre-cast would otherwise be
+    a second full pass over ~180 MB/batch — measured 2x on the host bench).
     """
     tensors: Dict[str, np.ndarray] = {}
     host: Dict[str, Any] = {}
@@ -300,7 +308,17 @@ def collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
         elif isinstance(val, np.ndarray) or np.isscalar(val) or isinstance(
             val, (np.integer, np.floating)
         ):
-            tensors[key] = np.stack([np.asarray(s[key]) for s in samples])
+            dt = (cast or {}).get(key)
+            if dt is not None:
+                v0 = np.asarray(val)
+                out = np.empty((len(samples),) + v0.shape, dt)
+                for i, s in enumerate(samples):
+                    out[i] = s[key]
+                tensors[key] = out
+            else:
+                tensors[key] = np.stack(
+                    [np.asarray(s[key]) for s in samples]
+                )
         else:
             host[key] = [s[key] for s in samples]
     return {"tensors": tensors, "host": host}

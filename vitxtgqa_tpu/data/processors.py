@@ -157,9 +157,10 @@ class FastTextProcessor(VocabProcessor):
         self.dim = self.stov.dim
 
     def _map_strings_to_indices(self, tokens: List[str]) -> np.ndarray:
-        out = np.zeros((self.max_length, self.dim), dtype=np.float32)
-        for i, tok in enumerate(tokens[: self.max_length]):
-            out[i] = self.stov[tok]
+        tokens = tokens[: self.max_length]
+        out = np.empty((self.max_length, self.dim), dtype=np.float32)
+        out[: len(tokens)] = self.stov.get_many(tokens)
+        out[len(tokens):] = 0.0
         return out
 
 
@@ -176,10 +177,13 @@ class PhocProcessor(VocabProcessor):
             self.preprocessor = Processor(pre)
 
     def _map_strings_to_indices(self, tokens: List[str]) -> np.ndarray:
-        out = np.zeros((self.max_length, PHOC_DIM), dtype=np.float32)
+        # np.empty + explicit zero tail: a np.zeros would memset the full
+        # 960x604 buffer (2.3 MB) only to overwrite it with the PHOC rows
+        out = np.empty((self.max_length, PHOC_DIM), dtype=np.float32)
         tokens = list(tokens[: self.max_length])
         if tokens:
             out[: len(tokens)] = build_phoc_batch(tokens)
+        out[len(tokens):] = 0.0
         return out
 
 

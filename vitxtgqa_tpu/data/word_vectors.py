@@ -35,6 +35,27 @@ class WordVectors:
         words = phrase.split(" ")
         return np.mean([self.get_word_vector(w) for w in words], axis=0)
 
+    def get_many(self, phrases) -> np.ndarray:
+        """[N, dim] float32 for a token list — the 960-slot OCR hot path.
+
+        Phrase-level memo on top of the backend lookup: a sample's OCR grid
+        repeats tokens heavily (`<pad>` alone fills most slots) and the
+        token distribution across samples is Zipfian, so this turns the
+        per-sample cost into ~N dict hits + row copies (measured 10.3 ->
+        ~1.5 ms/sample on the host bench, tools/bench_host_pipeline.py)."""
+        cache = getattr(self, "_phrase_cache", None)
+        if cache is None:
+            cache = self._phrase_cache = {}
+        out = np.empty((len(phrases), self.dim), np.float32)
+        for i, p in enumerate(phrases):
+            v = cache.get(p)
+            if v is None:
+                v = np.asarray(self[p], np.float32)
+                if len(cache) < 500_000:
+                    cache[p] = v
+            out[i] = v
+        return out
+
 
 class HashedVectors(WordVectors):
     """Stable char-n-gram hash embedding (fastText-like subword averaging)."""

@@ -26,6 +26,7 @@ import optax
 from vitxtgqa_tpu.core.config import ConfigNode
 from vitxtgqa_tpu.core.meter import Meter
 from vitxtgqa_tpu.core.registry import registry
+from vitxtgqa_tpu.data.dataset import collate
 from vitxtgqa_tpu.data.loader import DataLoader, infinite_batches
 from vitxtgqa_tpu.losses import Losses
 from vitxtgqa_tpu.metrics.metrics import MetricContext, Metrics, decode_answers
@@ -139,6 +140,16 @@ class BaseTrainer:
                 self.logger.write(f"split {split} unavailable: {e}", "warning")
                 continue
             self.datasets[split] = ds
+            collate_fn = collate
+            if str(
+                getattr(getattr(tp, "tpu", None), "compute_dtype", "bfloat16")
+            ) == "bfloat16":
+                import functools
+
+                collate_fn = functools.partial(
+                    collate,
+                    cast={k: jnp.bfloat16 for k in self._BF16_FEATURE_KEYS},
+                )
             self.loaders[split] = DataLoader(
                 ds, batch_size=batch_size, shuffle=(split == "train"),
                 seed=self.seed, drop_last=(split == "train"),
@@ -146,6 +157,7 @@ class BaseTrainer:
                 num_workers=min(workers, 16),
                 worker_mode=str(getattr(tp, "worker_mode", "process")),
                 rank=rank, world_size=n_proc,
+                collate_fn=collate_fn,
             )
         if not self.datasets:
             raise RuntimeError(
@@ -463,7 +475,9 @@ class BaseTrainer:
         if self.compute_dtype == jnp.bfloat16:
             tensors = dict(tensors)
             for key in self._BF16_FEATURE_KEYS:
-                if key in tensors:
+                # usually already bf16 (fused into collate); the astype
+                # only fires for batches from non-trainer-built loaders
+                if key in tensors and tensors[key].dtype != jnp.bfloat16:
                     tensors[key] = tensors[key].astype(jnp.bfloat16)
         return jax.device_put(tensors, self._data_sharding)
 
