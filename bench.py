@@ -4,9 +4,15 @@ Measures the flagship serving path — full T2S grounded-QA inference (modality
 encoders + QTV + grounding + KV-cached 12-step greedy pointer decode) at
 production dims (20+64+960 tokens, 768 hidden, bfloat16) on the available
 accelerator.  Serving runs the single pos variant (predictions are
-bit-identical to the reference's triple contrastive pass — tested);
-BENCH_FULL_EVAL=1 measures the 3-variant validation path instead, and
-BENCH_TRAIN=1 additionally reports the training-step throughput.
+bit-identical to the reference's triple contrastive pass — tested).
+
+By default one run measures ALL THREE headline axes — serving, the
+3-variant full-validation path, and the training step — so the driver's
+single JSON artifact self-certifies every number in BASELINE.md
+("axis_full_eval" / "axis_train" ride inside config; the top-level
+metric/value stay the serving headline).  BENCH_FULL_EVAL=1 or
+BENCH_TRAIN=1 narrow to one axis for A/B workflows; BENCH_AXES
+overrides the axis list explicitly (e.g. BENCH_AXES=serving).
 
 vs_baseline compares against an estimated reference throughput of 15
 videos/sec on one A100: the reference re-runs the full 1056-token MMT
@@ -30,7 +36,7 @@ floor (~31 ms) would otherwise tax every iteration.
 
 Env knobs: BENCH_BATCH, BENCH_ITERS, BENCH_PALLAS, BENCH_DECODE_KERNEL,
 BENCH_KV_INT8, BENCH_FULL_EVAL, BENCH_TRAIN, BENCH_TRAIN_BATCH,
-BENCH_PROFILE_DIR.
+BENCH_AXES, BENCH_PROFILE_DIR.
 """
 
 from __future__ import annotations
@@ -87,7 +93,8 @@ def _setup_jax():
     return jax
 
 
-def _run_once(batch_size: int, use_pallas: bool):
+def _run_once(batch_size: int, use_pallas: bool, full_eval: bool = False,
+              record: dict = RECORD):
     jax = _setup_jax()
     import jax.numpy as jnp
 
@@ -122,7 +129,7 @@ def _run_once(batch_size: int, use_pallas: bool):
     num_final = 5050 + 960
     model = T2S(
         config=cfg, num_final_outputs=num_final, bos_idx=2,
-        compute_dtype=jnp.bfloat16, inference_only=not FULL_EVAL,
+        compute_dtype=jnp.bfloat16, inference_only=not full_eval,
     )
     batch = synthetic_batch(batch=batch_size, num_final_outputs=num_final, seed=0)
     # pre-cast the big float features to the compute dtype on the host:
@@ -205,7 +212,7 @@ def _run_once(batch_size: int, use_pallas: bool):
     _ = float(last)
     dt = time.perf_counter() - t_total0
 
-    RECORD.update({
+    record.update({
         "devices": [str(d) for d in jax.devices()],
         "init_plus_compile_s": round(time.perf_counter() - t_init0, 2),
         "first_call_s": round(compile_s, 2),
@@ -321,16 +328,19 @@ def _run_train_bench(batch_size: int, use_pallas: bool):
     }
 
 
-def main():
+def _run_eval_axis(full_eval: bool):
+    """One eval axis (serving or full-val) with graceful degradation;
+    returns (videos_per_sec, effective_batch, use_pallas, record)."""
     use_pallas = USE_PALLAS
     batch_size = BATCH
-    videos_per_sec = None
+    record = {"fallbacks": [], "attempts": 0}
     last_error = None
     for attempt in range(4):
-        RECORD["attempts"] = attempt + 1
+        record["attempts"] = attempt + 1
         try:
-            videos_per_sec = _run_once(batch_size, use_pallas)
-            break
+            vps = _run_once(batch_size, use_pallas, full_eval=full_eval,
+                            record=record)
+            return vps, batch_size, use_pallas, record
         except Exception as e:  # OOM or kernel failure: degrade gracefully
             last_error = e
             msg = str(e)
@@ -340,50 +350,95 @@ def main():
                  or "INTERNAL" in msg)
                 and batch_size > 4
             ):
-                RECORD["fallbacks"].append(
+                record["fallbacks"].append(
                     {"event": "batch_halved", "from": batch_size,
                      "to": batch_size // 2, "error": f"{kind}: {msg[:200]}"}
                 )
                 batch_size //= 2
                 continue
             if use_pallas:
-                RECORD["fallbacks"].append(
+                record["fallbacks"].append(
                     {"event": "pallas_disabled",
                      "error": f"{kind}: {msg[:200]}"}
                 )
                 use_pallas = False
                 continue
             raise
-    if videos_per_sec is None:
-        raise last_error
+    raise last_error
 
-    result = {
-        "metric": (
-            "t2s_eval_throughput_full_val" if FULL_EVAL
-            else "t2s_serving_throughput"
-        ),
-        "value": round(videos_per_sec, 2),
-        "unit": "videos/sec/chip",
-        "vs_baseline": round(videos_per_sec / REFERENCE_A100_VIDEOS_PER_SEC, 2),
-        "config": {
-            "requested_batch": BATCH,
-            "effective_batch": batch_size,
-            "iters": ITERS,
-            "pallas": use_pallas,
-            "decode_kernel": DECODE_KERNEL and use_pallas,
-            "kv_int8": KV_INT8,
-            "w8a8": W8A8,
-            "compact": COMPACT,
-            "full_eval": FULL_EVAL,
-            "dtype": "bfloat16",
-            **RECORD,
-        },
-    }
-    if BENCH_TRAIN:
+
+def main():
+    # axis selection: by default the driver artifact self-certifies ALL
+    # three headline axes (serving + full 3-variant val + train) in one
+    # run/JSON.  BENCH_FULL_EVAL=1 / BENCH_TRAIN=1 narrow to a single axis
+    # for A/B workflows; BENCH_AXES overrides explicitly.
+    if os.environ.get("BENCH_AXES"):
+        axes = os.environ["BENCH_AXES"].split(",")
+    elif FULL_EVAL:
+        axes = ["full_eval"]
+    elif BENCH_TRAIN:
+        axes = ["serving", "train"]
+    else:
+        axes = ["serving", "full_eval", "train"]
+
+    result = None
+    headline_axis = axes[0]
+    for axis in axes:
+        if axis == "train":
+            continue  # handled after the eval axes
+        vps, eff_batch, pallas_on, record = _run_eval_axis(
+            full_eval=(axis == "full_eval")
+        )
+        axis_result = {
+            "metric": (
+                "t2s_eval_throughput_full_val" if axis == "full_eval"
+                else "t2s_serving_throughput"
+            ),
+            "value": round(vps, 2),
+            "unit": "videos/sec/chip",
+            "vs_baseline": round(vps / REFERENCE_A100_VIDEOS_PER_SEC, 2),
+            "config": {
+                "requested_batch": BATCH,
+                "effective_batch": eff_batch,
+                "iters": ITERS,
+                "pallas": pallas_on,
+                "decode_kernel": DECODE_KERNEL and pallas_on,
+                "kv_int8": KV_INT8,
+                "w8a8": W8A8,
+                "compact": COMPACT,
+                "full_eval": axis == "full_eval",
+                "dtype": "bfloat16",
+                **record,
+            },
+        }
+        if axis == headline_axis:
+            result = axis_result
+        else:
+            result["config"][f"axis_{axis}"] = {
+                "metric": axis_result["metric"],
+                "value": axis_result["value"],
+                "unit": axis_result["unit"],
+                "vs_baseline": axis_result["vs_baseline"],
+                "effective_batch": eff_batch,
+                "fallbacks": record["fallbacks"],
+                "fenced_iter_times_s": record.get("fenced_iter_times_s"),
+                "chained_block_s": record.get("chained_block_s"),
+            }
+    if "train" in axes:
         try:
-            result["train"] = _run_train_bench(TRAIN_BATCH, use_pallas)
+            train_res = _run_train_bench(TRAIN_BATCH, USE_PALLAS)
         except Exception as e:
-            result["train"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            train_res = {"error": f"{type(e).__name__}: {e}"[:300]}
+        if result is None:
+            result = {
+                "metric": "t2s_train_throughput",
+                "value": train_res.get("value"),
+                "unit": "videos/sec/chip",
+                "vs_baseline": None,
+                "config": train_res,
+            }
+        else:
+            result["config"]["axis_train"] = train_res
     print(json.dumps(result))
 
 

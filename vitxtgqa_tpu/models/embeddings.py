@@ -35,7 +35,7 @@ class VocabEmbedding(nn.Module):
     pretrained: Optional[Any] = None  # [V, D] vectors to initialise from
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         init = (
             (lambda *_: jnp.asarray(self.pretrained, jnp.float32))
             if self.pretrained is not None
@@ -190,15 +190,16 @@ class ImageEmbedding(nn.Module):
         return pooled.reshape(pooled.shape[0], -1), attention
 
 
-def text_embedding(emb_type: str, **kwargs):
+def text_embedding(emb_type: str, name: Optional[str] = None, **kwargs):
     """TextEmbedding dispatch (reference: :16-46)."""
     if emb_type == "identity":
-        return lambda x: x
+        return lambda x, deterministic=True: x
     if emb_type == "vocab":
         return VocabEmbedding(
             embedding_dim=kwargs["embedding_dim"],
             vocab_size=kwargs["vocab_size"],
             pretrained=kwargs.get("pretrained"),
+            name=name,
         )
     if emb_type == "preextracted":
         return PreExtractedEmbedding(kwargs["out_dim"], kwargs["base_path"])
@@ -209,6 +210,7 @@ def text_embedding(emb_type: str, **kwargs):
             dropout=kwargs.get("dropout", 0.0),
             bidirectional=kwargs.get("bidirectional", False),
             rnn_type=kwargs.get("rnn_type", "GRU"),
+            name=name,
         )
     if emb_type == "attention":
         return AttentionTextEmbedding(
@@ -220,10 +222,12 @@ def text_embedding(emb_type: str, **kwargs):
             kernel_size=kwargs["kernel_size"],
             padding=kwargs["padding"],
             bidirectional=kwargs.get("bidirectional", False),
+            name=name,
         )
     if emb_type == "torch":
         return VocabEmbedding(
             embedding_dim=kwargs["embedding_dim"],
             vocab_size=kwargs["vocab_size"],
+            name=name,
         )
     raise NotImplementedError(f"Unknown question embedding {emb_type!r}")

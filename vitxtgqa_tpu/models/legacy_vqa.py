@@ -1,20 +1,41 @@
-"""Legacy Pythia/MMF image-VQA models.
+"""Legacy Pythia/MMF image-VQA models, rebuilt to the zoo's parity standard.
 
-Compact flax re-implementations of the MMF-heritage models the reference
+Reference-exact flax compositions of the MMF-heritage models the reference
 keeps registered but does not wire to any videoqa config (reference:
-pythia/models/pythia.py:16-352, lorra.py:9-97, ban.py:12-97,
-top_down_bottom_up.py:15-80; SURVEY.md §2.5 "legacy Pythia").  Same registry
-keys; they consume generic VQA batches:
+pythia/models/pythia.py:16-352, lorra.py:9-62, ban.py:12-97,
+top_down_bottom_up.py:15-64; SURVEY.md §2.5 "legacy Pythia").  They compose
+the parity-tested module library — AttentionTextEmbedding / BiLSTM
+(models/embeddings.py), TopDownAttention / AttentionLayer
+(models/attention_legacy.py), NonLinearElementMultiply / LogitClassifier /
+BCNet / BiAttention / FCNet / WeightNormClassifier (models/layers.py) —
+exactly as the reference models wire them; full-model torch parity lives in
+tests/test_legacy_vqa_parity.py.
 
-  text [B, T] int32, text_len [B], image_feature_0 [B, K, Dv],
-  (lorra) context_feature_0 [B, N, Dc]
+Config: the reference MMF section schema is accepted
+(`text_embeddings`, `image_feature_embeddings`, `image_text_modal_combine`,
+`classifier`, `text_embedding`/`bilinear_attention` for BAN); when a section
+is absent it is synthesized from the compact keys
+(vocab_size/embed_dim/hidden_dim) with MMF's upstream defaults.
 
-and emit {"scores": [B, num_final_outputs]}.
+Batches: text [B, T] int32, text_len [B], image_feature_0 [B, K, Dv]
+(+ optional image_feature_1, image_info_0_max_features), (lorra)
+context_feature_0 [B, N, Dc] + optional order_vectors.  Output
+{"scores": [B, num_final_outputs]}.
+
+Documented reference quirks:
+  * `pythia_question_only` / `pythia_image_only` zero the text embedding
+    (pythia.py:307-310, 333-336) and, as written, feed raw token ids into
+    the text LSTM (they skip the word_embedding step Pythia.forward
+    applies) — a crash in the reference.  The rebuild applies the word
+    embedding first (the evident intent) and keeps the zeroed-text quirk.
+  * `top_down_bottom_up` is non-constructible in the reference (its
+    __init__ takes module objects, not a config — "Doesn't work currently",
+    top_down_bottom_up.py:14) — rebuilt as the evident TDBU head.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -22,49 +43,75 @@ from flax import linen as nn
 
 from vitxtgqa_tpu.core.registry import registry
 from vitxtgqa_tpu.models.common import cfg_get
+from vitxtgqa_tpu.models.attention_legacy import AttentionLayer
+from vitxtgqa_tpu.models.embeddings import (
+    BiLSTMTextEmbedding,
+    ImageEmbedding,
+    text_embedding,
+)
 from vitxtgqa_tpu.models.layers import (
+    BCNet,
     BiAttention,
     ClassifierLayer,
     FCNet,
     ModalCombineLayer,
-    NonLinearElementMultiply,
+    ReLUWithWeightNormFC,
+    WeightNormClassifier,
 )
-from vitxtgqa_tpu.ops.masks import length_mask
 
 
-class QuestionEmbedding(nn.Module):
-    """Embedding + GRU question encoder (compact stand-in for the reference
-    TextEmbedding/BiLSTM family, pythia/modules/embeddings.py)."""
-
-    vocab_size: int
-    embed_dim: int
-    hidden_dim: int
-
-    @nn.compact
-    def __call__(self, tokens, lengths):
-        x = nn.Embed(self.vocab_size, self.embed_dim, name="word_embed")(tokens)
-        rnn = nn.RNN(nn.GRUCell(self.hidden_dim), name="gru")
-        hs = rnn(x)  # [B, T, H]
-        idx = jnp.maximum(lengths - 1, 0)
-        final = jnp.take_along_axis(hs, idx[:, None, None], axis=1)[:, 0]
-        return hs, final
+def _plain(node):
+    if hasattr(node, "items"):
+        return {k: _plain(v) for k, v in node.items()}
+    if isinstance(node, (list, tuple)):
+        return [_plain(v) for v in node]
+    return node
 
 
-class _ImageAttention(nn.Module):
-    """Top-down attention over region features (pythia.py image attention)."""
+def _text_emb_cfgs(config, hidden, embed) -> List[Dict[str, Any]]:
+    """config.text_embeddings, or MMF pythia.yml's default attention
+    embedding (hidden_dim x conv2_out=2 glimpses)."""
+    cfgs = _plain(cfg_get(config, "text_embeddings", None))
+    if cfgs:
+        return cfgs
+    return [{
+        "type": "attention",
+        "params": {
+            "hidden_dim": hidden, "embedding_dim": embed, "num_layers": 1,
+            "dropout": 0.0, "conv1_out": 512, "conv2_out": 2,
+            "kernel_size": 1, "padding": 0,
+        },
+    }]
 
-    hidden_dim: int
 
-    @nn.compact
-    def __call__(self, image_feat, question_vec):
-        joint = NonLinearElementMultiply(self.hidden_dim, name="combine")(
-            image_feat, question_vec
-        )
-        logits = nn.Dense(1, name="attn")(joint)[..., 0]
-        attn = jax.nn.softmax(logits, axis=-1)
-        return jnp.einsum(
-            "bk,bkd->bd", attn, image_feat, preferred_element_type=jnp.float32
-        ).astype(image_feat.dtype)
+def _text_out_dim(cfg: Dict[str, Any], embed: int) -> int:
+    p = cfg.get("params", {})
+    t = cfg["type"]
+    if t == "attention":
+        return int(p["hidden_dim"]) * int(p.get("conv2_out", 2))
+    if t == "bilstm":
+        return int(p["hidden_dim"])
+    if t in ("identity", "vocab", "torch"):
+        return int(p.get("embedding_dim", embed))
+    if t == "preextracted":
+        return int(p["out_dim"])
+    raise NotImplementedError(t)
+
+
+def _feat_emb_cfgs(config, key, hidden) -> List[Dict[str, Any]]:
+    """config.<attr>_feature_embeddings, or MMF pythia.yml's default
+    single top-down attention embedding."""
+    cfgs = _plain(cfg_get(config, key, None))
+    if cfgs:
+        return cfgs
+    return [{
+        "modal_combine": {
+            "type": "non_linear_element_multiply",
+            "params": {"dropout": 0.0, "hidden_dim": hidden},
+        },
+        "normalization": "softmax",
+        "transform": {"type": "linear", "params": {"out_dim": 1}},
+    }]
 
 
 class _LegacyBase(nn.Module):
@@ -83,124 +130,278 @@ class _LegacyBase(nn.Module):
             int(cfg_get(c, "hidden_dim", 1024)),
         )
 
+    def _features(self, batch, attr="image"):
+        """image_feature_0, image_feature_1, ... like the reference's
+        process_feature_embedding loop (pythia.py:250-270)."""
+        feats = []
+        i = 0
+        while f"{attr}_feature_{i}" in batch:
+            feats.append(
+                batch[f"{attr}_feature_{i}"].astype(self.compute_dtype)
+            )
+            i += 1
+        return feats
 
-@registry.register_model("pythia")
+
 class Pythia(_LegacyBase):
-    """Question GRU + top-down image attention + modal combine + classifier
+    """Word embed -> attention text embeddings -> per-feature top-down
+    image embeddings -> modal combine -> logit classifier
     (reference: pythia.py:16-300)."""
 
-    use_question: bool = True
-    use_image: bool = True
+    # "full" | "question_only" | "image_only" (the reference ablations'
+    # forward paths, pythia.py:301-352)
+    MODE = "full"
 
-    def setup(self):
-        vocab, embed, hidden = self._dims()
-        self.question_embedding = QuestionEmbedding(vocab, embed, hidden)
-        self.image_attention = _ImageAttention(hidden)
-        self.combine = ModalCombineLayer(
-            str(cfg_get(self.config, "modal_combine", "non_linear_element_multiply")),
-            hidden,
-        )
-        self.classifier = ClassifierLayer(
-            str(cfg_get(self.config, "classifier_type", "logit")),
-            hidden, self.num_final_outputs,
-        )
-
+    @nn.compact
     def __call__(self, batch: Dict[str, jax.Array], train: bool = False):
-        lengths = batch["text_len"]
-        _, q_vec = self.question_embedding(batch["text"], lengths)
-        img = batch["image_feature_0"].astype(self.compute_dtype)
-        pooled = self.image_attention(img, q_vec)
-        if not self.use_question:
-            q_vec = jnp.zeros_like(q_vec)
-        if not self.use_image:
-            pooled = jnp.zeros_like(pooled)
-        joint = self.combine(pooled, q_vec, deterministic=not train)
-        return {"scores": self.classifier(joint, deterministic=not train)}
+        det = not train
+        vocab, embed, hidden = self._dims()
+
+        # -- text (reference: forward word_embedding + process_text_embedding)
+        x = nn.Embed(vocab, embed, name="word_embedding")(batch["text"])
+        te_cfgs = _text_emb_cfgs(self.config, hidden, embed)
+        text_parts = []
+        for i, tc in enumerate(te_cfgs):
+            if tc["type"] == "identity":
+                text_parts.append(x.reshape(x.shape[0], -1))
+            else:
+                text_parts.append(
+                    text_embedding(
+                        tc["type"], name=f"text_embeddings_{i}",
+                        **tc.get("params", {}),
+                    )(x, deterministic=det)
+                )
+        text_total = jnp.concatenate(text_parts, axis=1)
+        text_dim = sum(_text_out_dim(tc, embed) for tc in te_cfgs)
+
+        if self.MODE != "full":
+            # reference quirk: both ablations zero the text embedding
+            # (pythia.py:307-310, 333-336)
+            text_total = jnp.zeros_like(text_total)
+
+        cc = _plain(cfg_get(self.config, "image_text_modal_combine", None)) or {
+            "type": "non_linear_element_multiply",
+            "params": {"dropout": 0.0, "hidden_dim": hidden},
+        }
+        combine = ModalCombineLayer(
+            cc["type"], int(cc["params"]["hidden_dim"]),
+            dropout=float(cc["params"].get("dropout", 0.0)),
+            name="image_text_multi_modal_combine_layer",
+        )
+        clf = self._classifier(self._classifier_in_dim(combine.out_dim))
+
+        if self.MODE == "question_only":
+            # reference pythia.py:301-326: no image pass; joint =
+            # dropout(fa_txt(zeroed text)); scores via the text branch of
+            # the logit classifier only
+            joint = combine.module.dropout_layer(
+                combine.module.fa_txt(text_total), deterministic=det
+            )
+            scores = clf.module.linear_text(clf.module.f_o_text(joint))
+            return {"scores": scores}
+
+        # -- image (reference: process_feature_embedding, "default" encoder
+        # == identity; the finetune_faster_rcnn encoder needs detectron
+        # pickles — dispositioned in COVERAGE.md)
+        fe_cfgs = _feat_emb_cfgs(self.config, "image_feature_embeddings",
+                                 hidden)
+        locs = batch.get("image_info_0_max_features")
+        img_parts = []
+        for fi, feat in enumerate(self._features(batch, "image")):
+            for ei, fe in enumerate(fe_cfgs):
+                emb, _ = ImageEmbedding(
+                    image_dim=feat.shape[-1], question_dim=text_dim,
+                    modal_combine=fe["modal_combine"],
+                    transform=fe["transform"],
+                    normalization=fe.get("normalization", "softmax"),
+                    name=f"image_feature_embeddings_list_{fi}_{ei}",
+                )(feat, text_total, locs if fi == 0 else None,
+                  deterministic=det)
+                img_parts.append(emb)
+        image_total = jnp.concatenate(img_parts, axis=1)
+
+        if self.MODE == "image_only":
+            # reference pythia.py:329-352: joint = dropout(fa_image(image)),
+            # full classifier
+            joint = combine.module.dropout_layer(
+                combine.module.fa_image(image_total), deterministic=det
+            )
+            return {"scores": clf(joint, deterministic=det)}
+
+        joint = self._combine(combine, batch, image_total, text_total, det)
+        return {"scores": clf(joint, deterministic=det)}
+
+    # hooks LoRRA overrides -------------------------------------------------
+    def _combine(self, combine, batch, image_total, text_total, det):
+        return combine(image_total, text_total, deterministic=det)
+
+    def _classifier_in_dim(self, combine_out_dim):
+        return combine_out_dim
+
+    def _classifier(self, in_dim):
+        cl = _plain(cfg_get(self.config, "classifier", None)) or {
+            "type": str(cfg_get(self.config, "classifier_type", "logit")),
+            "params": {},
+        }
+        p = dict(cl.get("params", {}))
+        p.setdefault("text_hidden_dim", in_dim)
+        p.setdefault("img_hidden_dim", in_dim)
+        return ClassifierLayer(
+            cl["type"], in_dim, self.num_final_outputs, params=p,
+            name="classifier",
+        )
+
+
+@registry.register_model("pythia")
+class PythiaModel(Pythia):
+    pass
 
 
 @registry.register_model("pythia_question_only")
 class PythiaQuestionOnly(Pythia):
-    use_image: bool = False
+    MODE = "question_only"
 
 
 @registry.register_model("pythia_image_only")
 class PythiaImageOnly(Pythia):
-    use_question: bool = False
+    MODE = "image_only"
 
 
 @registry.register_model("lorra")
 class LoRRA(Pythia):
-    """Pythia + OCR context-attention branch for the copy answer space
-    (reference: lorra.py:9-97)."""
+    """Pythia + OCR context stream through the same top-down attention,
+    combined with context into a doubled joint embedding
+    (reference: lorra.py:9-62)."""
 
-    def setup(self):
-        super().setup()
-        _, _, hidden = self._dims()
-        self.context_attention = _ImageAttention(hidden)
-        self.context_combine = ModalCombineLayer(
-            "non_linear_element_multiply", hidden
+    def _combine(self, combine, batch, image_total, text_total, det):
+        _, embed, hidden = self._dims()
+        ce_cfgs = _feat_emb_cfgs(self.config, "context_feature_embeddings",
+                                 hidden)
+        order_vectors = batch.get("order_vectors")
+        ctx_parts = []
+        for fi, feat in enumerate(self._features(batch, "context")):
+            for ei, fe in enumerate(ce_cfgs):
+                emb, _ = ImageEmbedding(
+                    image_dim=feat.shape[-1],
+                    question_dim=0,
+                    modal_combine=fe["modal_combine"],
+                    transform=fe["transform"],
+                    normalization=fe.get("normalization", "softmax"),
+                    name=f"context_feature_embeddings_list_{fi}_{ei}",
+                )(feat, text_total, None, order_vectors=order_vectors,
+                  deterministic=det)
+                ctx_parts.append(emb)
+        context_total = jnp.concatenate(ctx_parts, axis=1)
+        return combine(
+            image_total, text_total, context_total, deterministic=det
         )
 
-    def __call__(self, batch, train: bool = False):
-        lengths = batch["text_len"]
-        _, q_vec = self.question_embedding(batch["text"], lengths)
-        img = batch["image_feature_0"].astype(self.compute_dtype)
-        ctx = batch["context_feature_0"].astype(self.compute_dtype)
-        pooled_img = self.image_attention(img, q_vec)
-        pooled_ctx = self.context_attention(ctx, q_vec)
-        joint = self.combine(pooled_img, q_vec, deterministic=not train)
-        joint_ctx = self.context_combine(pooled_ctx, q_vec, deterministic=not train)
-        joint = jnp.concatenate([joint, joint_ctx], axis=-1)
-        return {"scores": self.classifier(joint, deterministic=not train)}
+    def _classifier_in_dim(self, combine_out_dim):
+        # reference: classifier input is cat(image-joint, context-joint)
+        # (lorra.py:35-38)
+        return 2 * combine_out_dim
 
 
 @registry.register_model("ban")
 class BAN(_LegacyBase):
-    """Bilinear attention network: glimpsed co-attention with residual
-    question refinement (reference: ban.py:12-97)."""
+    """Bilinear attention network, reference-exact glimpse recursion
+    (reference: ban.py:12-97): BiAttention glimpse maps -> per-glimpse
+    BCNet.forward_with_weights fusion -> FCNet question refinement ->
+    weight-norm classifier over the summed question states."""
 
-    def setup(self):
-        vocab, embed, hidden = self._dims()
-        self.glimpses = int(cfg_get(self.config, "glimpses", 2))
-        self.question_embedding = QuestionEmbedding(vocab, embed, hidden)
-        self.biattention = BiAttention(hidden, glimpses=self.glimpses)
-        self.v_net = FCNet((0, hidden))
-        self.q_update = FCNet((0, hidden))
-        self.classifier = ClassifierLayer(
-            "weight_norm", hidden, self.num_final_outputs,
-        )
-
+    @nn.compact
     def __call__(self, batch, train: bool = False):
-        hs, _ = self.question_embedding(batch["text"], batch["text_len"])
+        det = not train
+        vocab, embed, hidden = self._dims()
+        te = _plain(cfg_get(self.config, "text_embedding", None)) or {
+            "num_hidden": hidden, "emb_size": embed, "num_layers": 1,
+            "dropout": 0.0, "bidirectional": False, "rnn_type": "GRU",
+        }
+        ba = _plain(cfg_get(self.config, "bilinear_attention", None)) or {
+            "gamma": int(cfg_get(self.config, "glimpses", 2)),
+            "bc_net": {"k": 1},
+            "fc_net": {"activation": "relu", "dropout": 0.0},
+        }
+        num_hidden = int(te["num_hidden"])
+        gamma = int(ba["gamma"])
+
         v = batch["image_feature_0"].astype(self.compute_dtype)
-        att = self.biattention(v, hs)  # [B, G, K, T]
-        q = hs
-        for g in range(self.glimpses):
-            fused = jnp.einsum(
-                "bkt,bkd->btd", att[:, g], self.v_net(v),
-                preferred_element_type=jnp.float32,
-            ).astype(q.dtype)
-            q = q + self.q_update(fused)
-        pooled = q.sum(axis=1)
-        return {"scores": self.classifier(pooled, deterministic=not train)}
+        q = nn.Embed(vocab, embed, name="word_embedding")(batch["text"])
+        q_emb = BiLSTMTextEmbedding(
+            hidden_dim=num_hidden, num_layers=int(te.get("num_layers", 1)),
+            dropout=float(te.get("dropout", 0.0)),
+            bidirectional=bool(te.get("bidirectional", False)),
+            rnn_type=str(te.get("rnn_type", "GRU")), name="q_emb",
+        ).forward_all(q, deterministic=det)
+
+        att, _ = BiAttention(
+            hidden_dim=num_hidden, glimpses=gamma, name="v_att",
+        )(v, q_emb, deterministic=det)
+
+        fc_act = str(ba.get("fc_net", {}).get("activation", "relu"))
+        fc_drop = float(ba.get("fc_net", {}).get("dropout", 0.0))
+        bc_k = int(ba.get("bc_net", {}).get("k", 1))
+        for g in range(gamma):
+            b_emb = BCNet(
+                h_dim=num_hidden, h_out=None, k=bc_k, name=f"b_net_{g}",
+            ).forward_with_weights(v, q_emb, att[:, g], deterministic=det)
+            q_emb = FCNet(
+                (num_hidden, num_hidden), act=fc_act, dropout=fc_drop,
+                name=f"q_prj_{g}",
+            )(b_emb[:, None, :], deterministic=det) + q_emb
+
+        cl = _plain(cfg_get(self.config, "classifier", None)) or {
+            "dropout": 0.5
+        }
+        scores = WeightNormClassifier(
+            hidden_dim=num_hidden * 2, out_dim=self.num_final_outputs,
+            dropout=float(cl.get("dropout", 0.5)), name="classifier",
+        )(q_emb.sum(axis=1), deterministic=det)
+        return {"scores": scores}
 
 
 @registry.register_model("top_down_bottom_up")
 class TopDownBottomUp(_LegacyBase):
-    """Classic TDBU VQA head (reference: top_down_bottom_up.py:15-80)."""
+    """Classic TDBU VQA head.  The reference class is non-constructible
+    (its __init__ takes prebuilt module objects and is marked "Doesn't work
+    currently", top_down_bottom_up.py:14-30); this is the evident TDBU
+    computation with the same pieces: text embeddings -> attention-pooled
+    image -> ReLUWithWeightNormFC(text) * ReLUWithWeightNormFC(image) ->
+    classifier."""
 
-    def setup(self):
-        vocab, embed, hidden = self._dims()
-        self.question_embedding = QuestionEmbedding(vocab, embed, hidden)
-        self.attention = _ImageAttention(hidden)
-        self.combine = ModalCombineLayer("non_linear_element_multiply", hidden)
-        self.classifier = ClassifierLayer(
-            "weight_norm", hidden, self.num_final_outputs,
-        )
-
+    @nn.compact
     def __call__(self, batch, train: bool = False):
-        _, q_vec = self.question_embedding(batch["text"], batch["text_len"])
+        det = not train
+        vocab, embed, hidden = self._dims()
+        x = nn.Embed(vocab, embed, name="word_embedding")(batch["text"])
+        te_cfgs = _text_emb_cfgs(self.config, hidden, embed)
+        text_parts = [
+            text_embedding(
+                tc["type"], name=f"text_embedding_models_{i}",
+                **tc.get("params", {}),
+            )(x, deterministic=det)
+            for i, tc in enumerate(te_cfgs)
+        ]
+        text_total = jnp.concatenate(text_parts, axis=1)
+        text_dim = sum(_text_out_dim(tc, embed) for tc in te_cfgs)
+
         v = batch["image_feature_0"].astype(self.compute_dtype)
-        pooled = self.attention(v, q_vec)
-        joint = self.combine(pooled, q_vec, deterministic=not train)
-        return {"scores": self.classifier(joint, deterministic=not train)}
+        fe = _feat_emb_cfgs(self.config, "image_feature_embeddings",
+                            hidden)[0]
+        attention = AttentionLayer(
+            image_dim=v.shape[-1], question_dim=text_dim,
+            modal_combine=fe["modal_combine"], transform=fe["transform"],
+            normalization=fe.get("normalization", "softmax"),
+            name="image_attention_model",
+        )(v, text_total, deterministic=det)
+        # reference: sum(attention * image, dim=1)
+        image_total = (attention * v).sum(axis=1)
+
+        joint = ReLUWithWeightNormFC(hidden, name="non_linear_text")(
+            text_total
+        ) * ReLUWithWeightNormFC(hidden, name="non_linear_image")(image_total)
+        scores = WeightNormClassifier(
+            hidden_dim=hidden * 2, out_dim=self.num_final_outputs,
+            dropout=0.5, name="classifier",
+        )(joint, deterministic=det)
+        return {"scores": scores}
