@@ -180,3 +180,59 @@ def test_compact_decode_recompute_oracle_untouched():
         np.asarray(out["pos_scores"]), np.asarray(ref["pos_scores"]),
         atol=1e-6,
     )
+
+
+def _full_eval_outputs(compact: bool, gumbel_seed: int = 9):
+    """3-variant full-eval (inference_only=False, eval mode)."""
+    from vitxtgqa_tpu.models.common import set_compact_serving
+    from vitxtgqa_tpu.models.t2s import T2S
+
+    batch = tiny_batch(0)
+    model = T2S(config=tiny_config(), num_final_outputs=NV + N, bos_idx=2,
+                inference_only=False)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "gumbel": jax.random.key(2)}
+    variables = model.init(rngs, batch, train=True)
+    set_compact_serving(compact)
+    try:
+        out = model.apply(
+            variables, batch, train=False,
+            rngs={"gumbel": jax.random.key(gumbel_seed)},
+        )
+    finally:
+        set_compact_serving(False)
+    return out
+
+
+def test_compact_full_eval_matches_full_on_kept_rows():
+    """Compact full-eval: pos decode + the teacher-forced neg pass run on
+    the statically-kept grounding rows; ref stays full.  When the decoded
+    traces agree, ref must match exactly and pos/neg must match on the
+    fixed vocab and their kept slots, with never-kept copy scores pinned
+    to -1e4."""
+    full = _full_eval_outputs(compact=False)
+    comp = _full_eval_outputs(compact=True)
+    n_kept = _assert_compact_agreement(full, comp)
+    assert (n_kept == F * 2).all()  # pos: ocr_topk=2 per frame
+
+    am_full = np.asarray(full["pos_scores"]).argmax(-1)
+    am_comp = np.asarray(comp["pos_scores"]).argmax(-1)
+    if (am_full == am_comp).all():
+        # same teacher tokens -> ref is computed identically (full rows)
+        np.testing.assert_allclose(
+            np.asarray(comp["ref_scores"]), np.asarray(full["ref_scores"]),
+            atol=2e-4,
+        )
+        # neg: fixed vocab + kept rows match; never-kept pinned
+        ns_full = np.asarray(full["neg_scores"], np.float32)
+        ns_comp = np.asarray(comp["neg_scores"], np.float32)
+        np.testing.assert_allclose(
+            ns_comp[..., :NV], ns_full[..., :NV], atol=2e-4
+        )
+        kept_n = ns_comp[..., NV:] > -1e4 + 1.0
+        assert (kept_n == kept_n[:, :1, :]).all()
+        np.testing.assert_allclose(
+            ns_comp[..., NV:][kept_n], ns_full[..., NV:][kept_n], atol=2e-4
+        )
+        # neg keeps at most ocr_topk slots per frame (masked rows gather 0)
+        assert (kept_n[:, 0, :].sum(-1) <= F * 2).all()

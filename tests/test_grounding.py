@@ -63,7 +63,7 @@ def test_temporal_grounding_partitions_and_ids():
     feats = jax.random.normal(jax.random.key(1), (b, F, 8))
     frame_mask = jnp.asarray([[1, 1, 1, 1, 0, 0]], jnp.float32)
     frame_id = jnp.asarray([[1, 2, 3, 4, 0, 0]])
-    gf, pos, neg, gf_idx = temporal_grounding(
+    gf, pos, neg, gf_idx, gf_neg_idx = temporal_grounding(
         jax.random.key(2), q, feats, frame_mask, frame_id, topk=2
     )
     pos, neg = np.asarray(pos), np.asarray(neg)
@@ -79,7 +79,7 @@ def test_spatial_grounding_shapes_and_box_order():
     feats = jax.random.normal(jax.random.key(3), (b, n, 8))
     boxes = jnp.arange(n * 4, dtype=jnp.float32).reshape(1, n, 4) / 100.0
     new_mask = jnp.ones((b, n), jnp.float32)
-    gb, pos, neg, gb_idx = spatial_grounding(
+    gb, pos, neg, gb_idx, gb_neg_idx = spatial_grounding(
         jax.random.key(4), q, feats, boxes, new_mask, F, K, ocr_topk=2
     )
     assert gb.shape == (b, F * 2, 4)

@@ -93,7 +93,7 @@ def test_temporal_indicator_parity(ref, monkeypatch):
             torch.from_numpy(mask), sample_list, topk,
         )
 
-    g_frame, g_pos, g_neg, _ = temporal_grounding(
+    g_frame, g_pos, g_neg, _, _ = temporal_grounding(
         jax.random.key(0), jnp.asarray(q), jnp.asarray(feats),
         jnp.asarray(mask), jnp.asarray(frame_id), topk,
     )
@@ -149,7 +149,7 @@ def test_spatial_indicator_parity(ref, monkeypatch):
             torch.from_numpy(new_mask), 2, o_topk, F, K,
         )
 
-    g_box, g_pos, g_neg, _ = spatial_grounding(
+    g_box, g_pos, g_neg, _, _ = spatial_grounding(
         jax.random.key(0), jnp.asarray(q), jnp.asarray(feats),
         jnp.asarray(boxes), jnp.asarray(new_mask), F, K, o_topk,
     )

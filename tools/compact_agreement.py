@@ -80,6 +80,12 @@ def main():
     params = jax.jit(lambda r, b: model.init(r, b, train=True))(rngs, batch)[
         "params"
     ]
+    # AGREEMENT_TRAIN_STEPS>0: overfit on slices of the same batch first so
+    # agreement is measured at PEAKED logits (tools/agreement_common.py)
+    from tools.agreement_common import maybe_overfit
+
+    params, weight_state = maybe_overfit(model, params, batch)
+    print(f"weights: {weight_state}")
     dev_batch = jax.device_put(batch)
 
     def run(compact: bool, pallas: bool):

@@ -49,6 +49,10 @@ def main():
     params = jax.jit(lambda r, b: model.init(r, b, train=True))(rngs, batch)[
         "params"
     ]
+    from tools.agreement_common import maybe_overfit
+
+    params, weight_state = maybe_overfit(model, params, batch)
+    print(f"weights: {weight_state}")
     dev_batch = jax.device_put(batch)
 
     def make_step(w8a8: bool):

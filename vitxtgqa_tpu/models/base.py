@@ -104,6 +104,28 @@ class JointQAModel(nn.Module):
         dynamic = self.ocr_ptr_net(dec_out, ocr_out, ocr_mask)
         return jnp.concatenate([fixed, dynamic], axis=-1)
 
+    @staticmethod
+    def _scatter_dynamic(dynamic, idx, full_n, may_pad):
+        """Scatter compact-row copy scores [B, S, n_compact] back to the
+        full OCR width [B, S, full_n]; non-kept slots pin to -1e4 (the
+        documented compact deviation vs the reference's raw 0/1 ptr mask).
+
+        ``may_pad``: -1-padded gather lists (t2s_wo_sg) write into a trash
+        slot that is sliced away — their rows are masked, and scattering at
+        a clamped index would clobber a real slot's score.  Plain t2s
+        scatters lane-aligned at full_n directly."""
+        b, s, n = dynamic.shape
+        idx_b = jnp.broadcast_to(idx[:, None, :], (b, s, n))
+        if may_pad:
+            safe = jnp.where(idx_b < 0, full_n, idx_b)
+            full = jnp.full((b, s, full_n + 1), -1e4, dynamic.dtype)
+            return jnp.put_along_axis(
+                full, safe, dynamic, axis=-1, inplace=False
+            )[..., :full_n]
+        full = jnp.full((b, s, full_n), -1e4, dynamic.dtype)
+        return jnp.put_along_axis(full, idx_b, dynamic, axis=-1,
+                                  inplace=False)
+
     # joint sequences are padded so enc+dec is a lane multiple: the flash
     # kernel and the KV caches then need no per-call jnp.pad round-trips
     # (profiled at ~80ms/step at batch 384); padded rows are masked tokens
@@ -114,11 +136,19 @@ class JointQAModel(nn.Module):
         return (-(l_enc + dec_len)) % self.LANE
 
     def _mmt_full(self, txt, obj, ocr, enc_mask, ocr_masks, prev_inds,
-                  deterministic: bool):
-        """Single prefix-LM pass with teacher forcing (training path)."""
+                  deterministic: bool, embed_ocr=None, dynamic_scatter=None):
+        """Single prefix-LM pass with teacher forcing (training path).
+
+        Compact hooks (mirroring _greedy_decode): ``ocr`` may be a
+        grounding-gathered row subset; ``embed_ocr`` then supplies the FULL
+        OCR stream for the prev-pred copy tables (token ids index the
+        original copy space) and ``dynamic_scatter=(idx, full_n, may_pad)``
+        scatters the compact copy scores back to full width."""
         dec_len = prev_inds.shape[1]
         dec_emb = self.prev_pred_embeddings(
-            self.classifier.table(), ocr, prev_inds, deterministic
+            self.classifier.table(),
+            ocr if embed_ocr is None else embed_ocr,
+            prev_inds, deterministic,
         )
         l0 = txt.shape[1] + obj.shape[1] + ocr.shape[1]
         pad = self._enc_row_pad(l0, dec_len)
@@ -137,6 +167,12 @@ class JointQAModel(nn.Module):
         n_ocr = ocr.shape[1]
         ocr_out = h[:, l0 - n_ocr : l0]
         dec_out = h[:, -dec_len:]
+        if dynamic_scatter is not None:
+            idx, full_n, may_pad = dynamic_scatter
+            fixed = self.classifier(dec_out)
+            dynamic = self.ocr_ptr_net(dec_out, ocr_out, ocr_masks)
+            dynamic = self._scatter_dynamic(dynamic, idx, full_n, may_pad)
+            return jnp.concatenate([fixed, dynamic], axis=-1)
         return self._scores(dec_out, ocr_out, ocr_masks)
 
     def _greedy_decode(self, txt, obj, ocr, enc_mask, ocr_masks, dec_len: int,
@@ -229,29 +265,7 @@ class JointQAModel(nn.Module):
             )
             if dynamic_scatter is not None:
                 idx, full_n, may_pad = dynamic_scatter
-                if may_pad:
-                    # -1-padded gather lists (t2s_wo_sg compact) write into
-                    # a trash slot that is sliced away: their rows are
-                    # masked, and scattering them at a clamped index would
-                    # clobber a real slot's score
-                    safe = jnp.where(idx < 0, full_n, idx)
-                    full = jnp.full(
-                        dynamic.shape[:-1] + (full_n + 1,), -1e4, dynamic.dtype
-                    )
-                    dynamic = jnp.put_along_axis(
-                        full, safe[:, None, :], dynamic, axis=-1, inplace=False
-                    )[..., :full_n]
-                else:
-                    # plain t2s: idx is never -1 (static per-frame top-k
-                    # rows), so scatter lane-aligned at full_n without the
-                    # trash-slot widening (ADVICE r2: the +1 buffer is
-                    # unaligned and allocated every decode step)
-                    full = jnp.full(
-                        dynamic.shape[:-1] + (full_n,), -1e4, dynamic.dtype
-                    )
-                    dynamic = jnp.put_along_axis(
-                        full, idx[:, None, :], dynamic, axis=-1, inplace=False
-                    )
+                dynamic = self._scatter_dynamic(dynamic, idx, full_n, may_pad)
             scores_t = jnp.concatenate([fixed, dynamic], axis=-1)[:, 0, :]
             nxt = jnp.argmax(scores_t[lo : lo + b], axis=-1)
             nxtN = jnp.concatenate([nxt] * n_variants, axis=0)

@@ -78,8 +78,12 @@ def temporal_grounding(
     neg_topk = topk_mask(neg_score, topk, largest=False)
 
     idx = topk_indices_sorted(pos_score, topk, largest=True)  # ascending
+    # bottom-k positions of the neg mask — static count, the compact
+    # full-eval neg pass gathers these (masked frames ride along as zeros
+    # in the gathered mask)
+    neg_idx = topk_indices_sorted(neg_score, topk, largest=False)
     ground_frame = jnp.take_along_axis(frame_id, idx, axis=1)
-    return ground_frame, pos_topk, neg_topk, idx
+    return ground_frame, pos_topk, neg_topk, idx, neg_idx
 
 
 def frames_to_ocr_mask(ground_frame, temporal_id):
@@ -132,8 +136,13 @@ def spatial_grounding(
     flat = (
         jnp.arange(frame_num)[None, :, None] * ocr_frame_num + idx
     ).reshape(b, -1)
+    # per-frame bottom-k positions — the compact full-eval neg gather list
+    idx_n = topk_indices_sorted(neg_grid, ocr_topk, largest=False)
+    flat_n = (
+        jnp.arange(frame_num)[None, :, None] * ocr_frame_num + idx_n
+    ).reshape(b, -1)
     ground_box = jnp.take_along_axis(ocr_box, flat[..., None], axis=1)
-    return ground_box, pos_topk, neg_topk, flat
+    return ground_box, pos_topk, neg_topk, flat, flat_n
 
 
 class GroundingModule(nn.Module):
@@ -167,7 +176,7 @@ class GroundingModule(nn.Module):
         q_global = self.pool_question(q_feat, q_mask)
 
         rng_t = self.make_rng("gumbel")
-        ground_frame, pos_f, neg_f, pos_f_idx = temporal_grounding(
+        ground_frame, pos_f, neg_f, pos_f_idx, neg_f_idx = temporal_grounding(
             rng_t, q_global, frame_feat, frame_mask, frame_id,
             self.frame_topk, self.tau,
         )
@@ -177,7 +186,7 @@ class GroundingModule(nn.Module):
         new_ocr_mask = frames_to_ocr_mask(ground_frame, temporal_id)
 
         rng_s = self.make_rng("gumbel")
-        ground_box, pos_o, neg_o, pos_o_idx = spatial_grounding(
+        ground_box, pos_o, neg_o, pos_o_idx, neg_o_idx = spatial_grounding(
             rng_s, q_global, ocr_feat, ocr_box, new_ocr_mask,
             self.frame_num, self.ocr_frame_num, self.ocr_topk, self.tau,
         )
@@ -194,4 +203,8 @@ class GroundingModule(nn.Module):
             # compact-serving gather lists (see T2S._compact_decode)
             "pos_obj_idx": pos_f_idx,
             "pos_ocr_idx": pos_o_idx,
+            # neg-mask positions (bottom-k; same static counts) — compact
+            # full-eval's teacher-forced neg pass (T2S.__call__)
+            "neg_obj_idx": neg_f_idx,
+            "neg_ocr_idx": neg_o_idx,
         }

@@ -347,14 +347,32 @@ class T2S(JointQAModel):
             # pass on the decoded tokens.  Saves the decode loop on 2/3 of
             # the fold and drops peak activations from 3B to 2B sequences
             # (the batch-384 full-eval OOM headroom).
-            enc_mask_pos = jnp.concatenate(
-                [txt_mask, g["pos_obj_mask"], g["pos_ocr_mask"]], axis=1
-            )
+            from vitxtgqa_tpu.models.common import compact_serving_enabled
+
             dec_len = batch["train_prev_inds"].shape[1]
-            pos = self._greedy_decode(
-                txt_emb, obj_in, ocr_in, enc_mask_pos, g["pos_ocr_mask"],
-                dec_len, joint=joint,
+            # compact full-eval (opt-in, same tpu.compact_serving flag):
+            # pos decode AND the teacher-forced neg pass run on the
+            # statically-kept grounding rows (top-k / bottom-k counts are
+            # static); only the ref variant needs the full joint sequence.
+            # Requires the base GroundingModule's neg gather lists (the
+            # wo_sg ablation's neg mask is a complement — not compactable).
+            compact = (
+                compact_serving_enabled()
+                and "pos_ocr_idx" in g
+                and "neg_ocr_idx" in g
             )
+            if compact:
+                pos = self._compact_decode(
+                    txt_emb, txt_mask, obj_in, ocr_in, g, dec_len
+                )
+            else:
+                enc_mask_pos = jnp.concatenate(
+                    [txt_mask, g["pos_obj_mask"], g["pos_ocr_mask"]], axis=1
+                )
+                pos = self._greedy_decode(
+                    txt_emb, obj_in, ocr_in, enc_mask_pos, g["pos_ocr_mask"],
+                    dec_len, joint=joint,
+                )
             chosen = jnp.argmax(pos, axis=-1)  # [B, S]
             prev = jnp.concatenate(
                 [
@@ -363,17 +381,44 @@ class T2S(JointQAModel):
                 ],
                 axis=1,
             )
-            tile2 = lambda x: jnp.concatenate([x, x], axis=0)
-            obj_masks2 = jnp.concatenate([obj_mask, g["neg_obj_mask"]], axis=0)
-            ocr_masks2 = jnp.concatenate([ocr_mask, g["neg_ocr_mask"]], axis=0)
-            enc_mask2 = jnp.concatenate(
-                [tile2(txt_mask), obj_masks2, ocr_masks2], axis=1
-            )
-            scores2 = self._mmt_full(
-                tile2(txt_emb), tile2(obj_in), tile2(ocr_in), enc_mask2,
-                ocr_masks2, tile2(prev), deterministic=True,
-            )
-            ref, neg = jnp.split(scores2, 2, axis=0)
+            if compact:
+                ref = self._mmt_full(
+                    txt_emb, obj_in, ocr_in,
+                    jnp.concatenate([txt_mask, obj_mask, ocr_mask], axis=1),
+                    ocr_mask, prev, deterministic=True,
+                )
+                take = lambda x, i: jnp.take_along_axis(
+                    x, i[..., None], axis=1
+                )
+                oi = g["neg_obj_idx"].astype(jnp.int32)
+                ci = g["neg_ocr_idx"].astype(jnp.int32)
+                obj_mask_n = jnp.take_along_axis(g["neg_obj_mask"], oi, axis=1)
+                ocr_mask_n = jnp.take_along_axis(g["neg_ocr_mask"], ci, axis=1)
+                enc_mask_n = jnp.concatenate(
+                    [txt_mask, obj_mask_n, ocr_mask_n], axis=1
+                )
+                neg = self._mmt_full(
+                    txt_emb, take(obj_in, oi), take(ocr_in, ci), enc_mask_n,
+                    ocr_mask_n, prev, deterministic=True,
+                    embed_ocr=ocr_in,
+                    dynamic_scatter=(ci, ocr_in.shape[1], False),
+                )
+            else:
+                tile2 = lambda x: jnp.concatenate([x, x], axis=0)
+                obj_masks2 = jnp.concatenate(
+                    [obj_mask, g["neg_obj_mask"]], axis=0
+                )
+                ocr_masks2 = jnp.concatenate(
+                    [ocr_mask, g["neg_ocr_mask"]], axis=0
+                )
+                enc_mask2 = jnp.concatenate(
+                    [tile2(txt_mask), obj_masks2, ocr_masks2], axis=1
+                )
+                scores2 = self._mmt_full(
+                    tile2(txt_emb), tile2(obj_in), tile2(ocr_in), enc_mask2,
+                    ocr_masks2, tile2(prev), deterministic=True,
+                )
+                ref, neg = jnp.split(scores2, 2, axis=0)
             return {
                 "ref_scores": ref, "pos_scores": pos, "neg_scores": neg,
                 **common,

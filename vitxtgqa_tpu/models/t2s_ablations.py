@@ -62,7 +62,7 @@ class GroundingWithoutTemporal(GroundingModule):
         # o_topk > ocr_frame_num selects every slot per frame (reference's
         # [:o_topk] slice saturates); keep the same effective k
         eff_topk = min(self.frame_topk * self.ocr_topk, self.ocr_frame_num)
-        ground_box, pos_o, neg_o, _ = spatial_grounding(
+        ground_box, pos_o, neg_o, _, _ = spatial_grounding(
             rng_s, q_global, ocr_feat, ocr_box, new_ocr_mask,
             F, self.ocr_frame_num, eff_topk, self.tau,
         )
@@ -110,7 +110,7 @@ class GroundingWithoutSpatial(GroundingModule):
         b = ocr_feat.shape[0]
 
         rng_t = self.make_rng("gumbel")
-        ground_frame, pos_f, neg_f, pos_f_idx = temporal_grounding(
+        ground_frame, pos_f, neg_f, pos_f_idx, _ = temporal_grounding(
             rng_t, q_global, frame_feat, frame_mask, frame_id,
             self.frame_topk, self.tau,
         )
