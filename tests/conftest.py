@@ -48,3 +48,6 @@ def _reset_trace_time_globals():
     _attention.set_w8a8(False)
     _attention.set_decode_pallas(True)
     _attention.set_sequence_parallel(None)
+    from vitxtgqa_tpu.metrics import evaluators as _evaluators
+
+    _evaluators.set_reference_compat(False)

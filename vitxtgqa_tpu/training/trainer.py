@@ -264,10 +264,15 @@ class BaseTrainer:
                 "W8A8 int8 fused blocks enabled (experimental serving "
                 "mode — validate metrics against a bf16 run)"
             )
-        if getattr(tp, "reference_compat", False):
-            from vitxtgqa_tpu.metrics.evaluators import set_reference_compat
+        from vitxtgqa_tpu.metrics.evaluators import set_reference_compat
 
-            set_reference_compat(True)
+        # set unconditionally: the flag is a process-wide global, and a
+        # prior trainer in the same process (e.g. tools/checkpoint_parity)
+        # may have left it on — a leaked True silently reverts the metric
+        # bug fixes (gt_box frame/box pairing, IoU duplicate-append) for
+        # every later eval
+        set_reference_compat(bool(getattr(tp, "reference_compat", False)))
+        if getattr(tp, "reference_compat", False):
             self.logger.write(
                 "reference_compat: metric deviations reverted to "
                 "reference-exact (bug-for-bug) semantics"
