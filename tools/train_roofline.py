@@ -97,7 +97,11 @@ def analytic_terms(batch: int, cfg) -> dict:
 
 
 def bucket_profile(profile_dir: str):
-    """Group measured device self-times (us) into roofline buckets."""
+    """Group measured device self-times (us) by (phase, module, op kind).
+
+    Uses only the DEVICE table (tables[0]) — iterating every table the
+    converter returns double-counts (the round-3 first cut read 981 ms
+    for a 490 ms step)."""
     from tools.profile_summary import find_xplane
 
     os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
@@ -113,38 +117,50 @@ def bucket_profile(profile_dir: str):
         data = data.decode("utf-8")
     obj = json.loads(data)
     tables = obj if isinstance(obj, list) else [obj.get("table", obj)]
-    buckets = {"flash kernels (fwd+bwd)": 0.0, "dots/fusions": 0.0,
-               "other": 0.0}
+    tbl = tables[0]
+    cols = [c.get("label", c.get("id", "")) for c in tbl.get("cols", [])]
+
+    def idx(*names):
+        for n in names:
+            for i, c in enumerate(cols):
+                if n.lower() in str(c).lower():
+                    return i
+        return None
+
+    i_name, i_self, i_type = (
+        idx("op name", "operation name"), idx("total self"), idx("type"),
+    )
+    buckets = {}
     total = 0.0
-    for tbl in tables:
-        cols = [c.get("label", c.get("id", "")) for c in tbl.get("cols", [])]
-
-        def idx(*names):
-            for n in names:
-                for i, c in enumerate(cols):
-                    if n.lower() in str(c).lower():
-                        return i
-            return None
-
-        i_name, i_self, i_host = (
-            idx("operation", "op name"), idx("total self"), idx("host")
-        )
-        if i_name is None or i_self is None:
-            continue
-        for row in tbl.get("rows", []):
-            c = row["c"]
-            name = str(c[i_name].get("v", ""))
+    for row in tbl.get("rows", []):
+        c = row["c"]
+        try:
             self_us = float(c[i_self].get("v", 0) or 0)
-            if i_host is not None and str(c[i_host].get("v", "")) == "Host":
-                continue
-            total += self_us
-            low = name.lower()
-            if "custom-call" in low or "pallas" in low or "flash" in low:
-                buckets["flash kernels (fwd+bwd)"] += self_us
-            elif "dot" in low or "conv" in low or "fusion" in low:
-                buckets["dots/fusions"] += self_us
-            else:
-                buckets["other"] += self_us
+        except (TypeError, ValueError):
+            continue
+        name = str(c[i_name].get("v", ""))
+        typ = str(c[i_type].get("v", "")) if i_type is not None else "?"
+        total += self_us
+        phase = "bwd" if "transpose(jvp" in name else "fwd"
+        if "mmt" in name:
+            mod = "mmt"
+        elif "qtv" in name or "_apply_qtv" in name:
+            mod = "qtv"
+        elif "text" in name:
+            mod = "text_bert"
+        else:
+            mod = "misc"
+        low = typ.lower()
+        if "pallas" in low or "custom" in low:
+            kind = "pallas"
+        elif "dot" in low or "conv" in low:
+            kind = "dot"
+        elif "reduce" in low:
+            kind = "reduce"
+        else:
+            kind = "elementwise/other"
+        key = f"{phase} {mod} {kind}"
+        buckets[key] = buckets.get(key, 0.0) + self_us
     return buckets, total
 
 
