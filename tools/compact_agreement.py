@@ -108,6 +108,25 @@ def main():
         set_use_pallas(True)
         return np.asarray(s), np.asarray(f)
 
+    if MODEL == "t2s_wo_sg":
+        # host-side completeness check (ADVICE r2): wo_sg's compact gather
+        # list holds the first frame_topk*ocr_frame_num true slots of the
+        # frame-expansion mask.  Completeness relies on the dataset
+        # invariant that temporal ids are unique per grid frame — each
+        # ground id then matches at most ocr_frame_num slots.  A violating
+        # input would silently truncate kept rows and diverge beyond the
+        # documented -1e4 deviation, so assert it on the probe batch.
+        tid = np.asarray(batch["temporal_id"]).reshape(BATCH, 64, -1)
+        per_frame = tid[..., 0]
+        uniq = np.array([
+            len(np.unique(row[row > 0])) == (row > 0).sum()
+            for row in per_frame
+        ])
+        assert uniq.all(), (
+            "temporal ids are not unique per grid frame on this batch — "
+            "wo_sg compact gather lists may truncate kept OCR rows"
+        )
+
     s_full, f_full = run(compact=False, pallas=True)
     s_comp, f_comp = run(compact=True, pallas=True)
 
