@@ -71,6 +71,10 @@ W8A8 = os.environ.get("BENCH_W8A8", "0") == "1"
 # MMT prefill+decode run on the 384 grounding-kept rows instead of the
 # full 1152 — documented ptr-score deviation, default OFF)
 COMPACT = os.environ.get("BENCH_COMPACT", "0") == "1"
+# single-kernel decode step (models/common.set_fused_decode, default ON):
+# all MMT layers of each decode step in one pallas_call.  BENCH_FUSED_DECODE=0
+# restores the per-layer decode kernels for A/B.
+FUSED_DECODE = os.environ.get("BENCH_FUSED_DECODE", "1") == "1"
 BENCH_TRAIN = os.environ.get("BENCH_TRAIN", "0") == "1"
 TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "48"))
 
@@ -113,6 +117,9 @@ def _run_once(batch_size: int, use_pallas: bool, full_eval: bool = False,
 
     set_use_pallas(use_pallas)
     set_compact_serving(COMPACT)
+    from vitxtgqa_tpu.models.common import set_fused_decode
+
+    set_fused_decode(FUSED_DECODE)
     # A/B knob for the decode-step kernel alone (rides the pallas gate)
     set_decode_pallas(DECODE_KERNEL)
     set_w8a8(W8A8)
@@ -406,6 +413,7 @@ def main():
                 "kv_int8": KV_INT8,
                 "w8a8": W8A8,
                 "compact": COMPACT,
+                "fused_decode": FUSED_DECODE,
                 "full_eval": axis == "full_eval",
                 "dtype": "bfloat16",
                 **record,

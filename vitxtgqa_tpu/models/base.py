@@ -243,6 +243,120 @@ class JointQAModel(nn.Module):
         # overhead than the halved key bytes gain)
         ptr_keys = self.ocr_ptr_net.keys(ocr_out)
 
+        def finish_step(y_t):
+            """Shared per-step epilogue: classifier + copy scores +
+            greedy argmax (optionally compact-scattered)."""
+            fixed = self.classifier(y_t)
+            dynamic = self.ocr_ptr_net.scores_from_keys(
+                y_t, ptr_keys, ocr_masks
+            )
+            if dynamic_scatter is not None:
+                idx, full_n, may_pad = dynamic_scatter
+                dynamic = self._scatter_dynamic(dynamic, idx, full_n, may_pad)
+            scores_t = jnp.concatenate([fixed, dynamic], axis=-1)[:, 0, :]
+            nxt = jnp.argmax(scores_t[lo : lo + b], axis=-1)
+            nxtN = jnp.concatenate([nxt] * n_variants, axis=0)
+            return nxtN, scores_t
+
+        bos = jnp.full((bN,), self.bos_idx, dtype=jnp.int32)
+
+        from vitxtgqa_tpu.models.common import fused_decode_max_batch
+
+        if self.mmt.fused_decode_ok() and bN <= fused_decode_max_batch():
+            # single-kernel decode step: all MMT layers in one launch per
+            # step, quantized cache rows committed with one DUS per packed
+            # array — the fix for the launch-bound batch-1..48 latency
+            # (~30 kernels/step -> 3; see ops/pallas_decode_step.py)
+            stacks, kv8, kvsc = self.mmt.fused_decode_prep(dec_cache)
+
+            if n_variants == 1 and dynamic_scatter is None:
+                # fused epilogue too (serving path): classifier + ptr
+                # scores + greedy argmax + next-token embedding in a
+                # second launch — a 4-launch step in total.  Gated off for
+                # the multi-variant full-eval (the argmax crosses variant
+                # rows) and compact scatter (scores stay compact-width
+                # in-kernel).
+                from vitxtgqa_tpu.ops.pallas_decode_step import (
+                    fused_epilogue,
+                )
+
+                cls_p = self.classifier.variables["params"]
+                w_c = cls_p["weight"]  # [Vfix, D]
+                b_c = cls_p["bias"].astype(jnp.float32)
+                v_fix = w_c.shape[0]
+                v_p = -(-v_fix // self.LANE) * self.LANE
+                cls_w_t = (
+                    jnp.zeros((w_c.shape[1], v_p), w_c.dtype)
+                    .at[:, :v_fix]
+                    .set(w_c.T)
+                )
+                cls_b_pad = (
+                    jnp.full((v_p,), -1e30, jnp.float32).at[:v_fix].set(b_c)
+                )
+                ans_pad = (
+                    jnp.zeros((v_p, ans_tbl.shape[-1]), ans_tbl.dtype)
+                    .at[:v_fix]
+                    .set(ans_tbl)
+                )
+                ptr_p = self.ocr_ptr_net.query.variables["params"]
+                ptr_w = ptr_p["kernel"]
+                ptr_b = ptr_p["bias"]
+                qk = ptr_w.shape[1]
+                # (position, token-type) decoder-slot embedding rows,
+                # LN'd — 2*dec_len rows, hoisted out of the scan
+                ppe = self.prev_pred_embeddings
+                pos_e = ppe.position_embeddings(jnp.arange(dec_len))
+                type_e = ppe.token_type_embeddings(jnp.arange(2))
+                emb_rows = (
+                    ppe.emb_ln(pos_e[:, None, :] + type_e[None, :, :])
+                    .reshape(2 * dec_len, -1)
+                    .astype(jnp.float32)
+                )
+                init_emb = ppe.embed(
+                    ans_tbl, ocr_tbl, bos[:, None], deterministic=True,
+                    position_offset=0,
+                )
+
+                def step_ep(carry, t):
+                    demb, kv8, kvsc = carry
+                    y_t, kv8, kvsc = self.mmt.fused_decode_step_apply(
+                        stacks, demb, kv8, kvsc, t, key_mask_full,
+                        write_offset,
+                    )
+                    scores_pad, _tok, demb_next = fused_epilogue(
+                        y_t, cls_w_t, cls_b_pad, ptr_w, ptr_b, ptr_keys,
+                        ocr_masks, ans_pad, ocr_tbl, emb_rows, t, v_fix,
+                        1.0 / (qk ** 0.5), dec_len,
+                    )
+                    return (demb_next, kv8, kvsc), scores_pad[:, 0, :]
+
+                (_, _, _), s_steps = jax.lax.scan(
+                    step_ep, (init_emb, kv8, kvsc), jnp.arange(dec_len)
+                )
+                s_steps = jnp.transpose(s_steps, (1, 0, 2))
+                # slice the classifier pad lanes out ONCE, post-scan
+                return jnp.concatenate(
+                    [s_steps[..., :v_fix], s_steps[..., v_p:]], axis=-1
+                )
+
+            def step_fused(carry, t):
+                prev_tok, kv8, kvsc = carry
+                dec_emb_t = self.prev_pred_embeddings.embed(
+                    ans_tbl, ocr_tbl, prev_tok[:, None],
+                    deterministic=True, position_offset=t,
+                )
+                y_t, kv8, kvsc = self.mmt.fused_decode_step_apply(
+                    stacks, dec_emb_t, kv8, kvsc, t, key_mask_full,
+                    write_offset,
+                )
+                nxtN, scores_t = finish_step(y_t)
+                return (nxtN, kv8, kvsc), scores_t
+
+            (_, _, _), scores_steps = jax.lax.scan(
+                step_fused, (bos, kv8, kvsc), jnp.arange(dec_len)
+            )
+            return jnp.transpose(scores_steps, (1, 0, 2))
+
         def step(carry, t):
             prev_tok, cache = carry
             dec_emb_t = self.prev_pred_embeddings.embed(
@@ -259,19 +373,9 @@ class JointQAModel(nn.Module):
                 dec_emb_t, None, cache, t, bias_t, deterministic=True,
                 write_offset=write_offset,
             )
-            fixed = self.classifier(y_t)
-            dynamic = self.ocr_ptr_net.scores_from_keys(
-                y_t, ptr_keys, ocr_masks
-            )
-            if dynamic_scatter is not None:
-                idx, full_n, may_pad = dynamic_scatter
-                dynamic = self._scatter_dynamic(dynamic, idx, full_n, may_pad)
-            scores_t = jnp.concatenate([fixed, dynamic], axis=-1)[:, 0, :]
-            nxt = jnp.argmax(scores_t[lo : lo + b], axis=-1)
-            nxtN = jnp.concatenate([nxt] * n_variants, axis=0)
+            nxtN, scores_t = finish_step(y_t)
             return (nxtN, cache), scores_t
 
-        bos = jnp.full((bN,), self.bos_idx, dtype=jnp.int32)
         (_, _), scores_steps = jax.lax.scan(
             step, (bos, dec_cache), jnp.arange(dec_len)
         )

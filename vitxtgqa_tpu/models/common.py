@@ -240,6 +240,44 @@ def kv_cache_int8_enabled() -> bool:
     return _GLOBAL_KV_INT8
 
 
+_GLOBAL_FUSED_DECODE = True
+# above this batch the per-layer decode kernels win: the fused step only
+# measured faster in the launch-bound near-batch-1 regime (-41% device
+# latency at batch 1, same-session A/B; neutral-to-slower from batch 8 up
+# in BOTH the 1-row and the 8-row-blocked form — tools/ab_fused_decode.py,
+# numbers in BASELINE.md).  Default keeps it to single-digit batches.
+_GLOBAL_FUSED_DECODE_MAX_BATCH = 4
+
+
+def set_fused_decode_max_batch(n: int) -> None:
+    """Batch cap for the single-kernel decode step (config:
+    training_parameters.tpu.fused_decode_max_batch)."""
+    global _GLOBAL_FUSED_DECODE_MAX_BATCH
+    _GLOBAL_FUSED_DECODE_MAX_BATCH = int(n)
+
+
+def fused_decode_max_batch() -> int:
+    return _GLOBAL_FUSED_DECODE_MAX_BATCH
+
+
+def set_fused_decode(enabled: bool) -> None:
+    """Single-kernel decode step (config: training_parameters.tpu.
+    fused_decode, default on): each greedy-decode step runs all MMT
+    layers in ONE pallas_call (QKV GEMVs, int8 quantize, cached
+    attention with the current token substituted in-register, and the
+    post-attention block), committing the new cache rows with one DUS
+    per packed array — 3 launches per step instead of ~30.  Engages only
+    with the int8 KV cache on a TPU backend (fused_decode_ok).  Trace-
+    time flag like set_kv_cache_int8: set BEFORE the eval step is first
+    compiled."""
+    global _GLOBAL_FUSED_DECODE
+    _GLOBAL_FUSED_DECODE = bool(enabled)
+
+
+def fused_decode_enabled() -> bool:
+    return _GLOBAL_FUSED_DECODE
+
+
 _GLOBAL_COMPACT_SERVING = False
 
 
@@ -453,6 +491,82 @@ class TransformerEncoder(nn.Module):
 
         h = self.cfg.num_attention_heads
         return [(quantize_kv(k, h), quantize_kv(v, h)) for k, v in kvs]
+
+    def fused_decode_ok(self) -> bool:
+        """Single-kernel decode step (ops.pallas_decode_step): TPU + Pallas
+        + int8 cache only.  Folds each decode step's ~10 per-layer ops into
+        one launch per STEP — the lever for the launch-bound batch-1..48
+        serving latency (BASELINE.md)."""
+        from vitxtgqa_tpu.ops.attention import _on_tpu, pallas_enabled
+
+        return (
+            fused_decode_enabled()
+            and kv_cache_int8_enabled()
+            and pallas_enabled(self.cfg.use_pallas)
+            and _on_tpu()
+            and not self.is_initializing()
+        )
+
+    def fused_decode_prep(self, kvs):
+        """Pack the per-layer int8 caches + layer weights for the
+        single-kernel decode step (ops.pallas_decode_step).
+
+        kvs: [((k8, ks), (v8, vs))] from quantize_cache.  Returns
+        (stacks, kv8 [n_layers, B, Lp, 2*H*D] int8,
+        kvsc [n_layers, B, 2, Lp] f32).  Build OUTSIDE the decode scan so
+        the stacking copies trace once per eval call (at batch 48 the
+        packed cache copy is ~255 MB ≈ 0.3 ms one-time)."""
+        p = lambda m: m.variables["params"]
+        k = lambda name: jnp.stack(
+            [p(getattr(l, name))["kernel"] for l in self.layers]
+        )
+        bi = lambda name: jnp.stack(
+            [p(getattr(l, name))["bias"] for l in self.layers]
+        )[:, None, :]
+        ln = lambda name, f: jnp.stack(
+            [p(getattr(l, name))[f] for l in self.layers]
+        )[:, None, :]
+        stacks = {
+            "wq": k("query"), "bq": bi("query"),
+            "wk": k("key"), "bk": bi("key"),
+            "wv": k("value"), "bv": bi("value"),
+            "wo": k("attn_out"), "bo": bi("attn_out"),
+            "s1": ln("attn_ln", "scale"), "g1": ln("attn_ln", "bias"),
+            "w1": k("ffn_in"), "b1": bi("ffn_in"),
+            "w2": k("ffn_out"), "b2": bi("ffn_out"),
+            "s2": ln("ffn_ln", "scale"), "g2": ln("ffn_ln", "bias"),
+        }
+        dt = self.cfg.dtype
+        stacks = {
+            name: (w.astype(dt) if name[0] == "w" else w)
+            for name, w in stacks.items()
+        }
+        kv8 = jnp.stack(
+            [jnp.concatenate([k8, v8], axis=-1)
+             for (k8, _), (v8, _) in kvs]
+        )
+        kvsc = jnp.stack(
+            [jnp.stack([ks, vs], axis=1) for (_, ks), (_, vs) in kvs]
+        )
+        return stacks, kv8, kvsc
+
+    def fused_decode_step_apply(self, stacks, x_t, kv8, kvsc, step,
+                                key_mask, write_offset: int):
+        """One decode step through the single-kernel path; commits this
+        step's quantized K/V rows with one DUS per packed cache array.
+        Returns (y_t [B, 1, D], kv8', kvsc')."""
+        from vitxtgqa_tpu.ops.pallas_decode_step import fused_decode_step
+
+        y, row8, rowsc = fused_decode_step(
+            x_t, stacks, kv8, kvsc, key_mask, step, write_offset,
+            self.cfg.num_attention_heads, eps=self.cfg.layer_norm_eps,
+        )
+        pos = write_offset + step
+        kv8 = jax.lax.dynamic_update_slice(kv8, row8, (0, 0, pos, 0))
+        kvsc = jax.lax.dynamic_update_slice(
+            kvsc, rowsc, (0, 0, 0, pos)
+        )
+        return y, kv8, kvsc
 
     def init_dec_cache(self, batch: int, dec_len: int, enc_kvs=None):
         """Unified per-layer merged KV caches [B, Lenc+dec, H*D]: the

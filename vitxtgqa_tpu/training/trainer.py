@@ -247,6 +247,19 @@ class BaseTrainer:
 
             set_kv_cache_int8(True)
             self.logger.write("int8 decode KV cache enabled")
+        if tpu_cfg is not None and not getattr(tpu_cfg, "fused_decode", True):
+            from vitxtgqa_tpu.models.common import set_fused_decode
+
+            set_fused_decode(False)
+            self.logger.write(
+                "fused decode-step kernel disabled (per-layer decode path)"
+            )
+        if tpu_cfg is not None and hasattr(tpu_cfg, "fused_decode_max_batch"):
+            from vitxtgqa_tpu.models.common import set_fused_decode_max_batch
+
+            set_fused_decode_max_batch(
+                int(tpu_cfg.fused_decode_max_batch)
+            )
         if tpu_cfg is not None and getattr(tpu_cfg, "compact_serving", False):
             from vitxtgqa_tpu.models.common import set_compact_serving
 
