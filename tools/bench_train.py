@@ -26,6 +26,9 @@ BATCH = int(os.environ.get("BENCH_BATCH", "48"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 REMAT_MODES = os.environ.get("BENCH_REMAT", "1").split(",")
+# BENCH_FUSED_GRADS: "1"/"0" or a comma list for a same-process A/B of the
+# dense_mm custom-VJP bias-grad-as-dot (models/common.set_fused_grads)
+FUSED_GRADS_MODES = os.environ.get("BENCH_FUSED_GRADS", "1").split(",")
 # BENCH_VARIANT_SCAN=0 folds the 3 contrastive variants into one 3B batch
 # instead of scanning them sequentially — ~3x the peak activations, but at
 # small batches the fold's better chip utilisation can win
@@ -47,7 +50,7 @@ def main():
     from vitxtgqa_tpu.core.config import build_config
     from vitxtgqa_tpu.losses import Losses
     from vitxtgqa_tpu.models.t2s import T2S
-    from vitxtgqa_tpu.models.common import set_remat
+    from vitxtgqa_tpu.models.common import set_fused_grads, set_remat
     from vitxtgqa_tpu.utils.synthetic import synthetic_batch
 
     if USE_PALLAS:
@@ -102,13 +105,15 @@ def main():
     # modes run sequentially in ONE process (holding two compiled programs
     # plus two param/opt states resident OOMs the chip); same-process
     # sequential with per-mode warm-up is the next-most-trustworthy A/B
-    for mode in REMAT_MODES:
+    mode_list = [(m, fg) for m in REMAT_MODES for fg in FUSED_GRADS_MODES]
+    for mode, fg in mode_list:
         set_remat("dots" if mode == "dots" else mode)
+        set_fused_grads(fg == "1")
         step = make_step()
         params = params0
         opt_state = tx.init(params)
         rng = jax.random.key(7)
-        record = {"remat": mode}
+        record = {"remat": mode, "fused_grads": fg == "1"}
         try:
             t_c0 = time.perf_counter()
             params, opt_state, total = step(params, opt_state, dev_batch, rng)

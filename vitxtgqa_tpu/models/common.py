@@ -64,6 +64,69 @@ def cfg_get(node: Any, key: str, default: Any = None) -> Any:
         return getattr(node, key, default)
 
 
+_GLOBAL_FUSED_GRADS = False
+
+
+def set_fused_grads(enabled: bool) -> None:
+    """Dense backward with the bias gradient as an MXU dot (config:
+    training_parameters.tpu.fused_grads).
+
+    Rationale: XLA emits each Dense bias gradient as a standalone reduce
+    fusion that re-reads the cotangent chain — the profile attributes
+    3.1 ms per ffn_out/attn_out site at batch 48 (BASELINE.md
+    train-roofline table: 54 ms of backward reductions).  dense_mm's
+    custom VJP expresses db as ``ones_row @ g`` so it runs as a matmul
+    over one clean operand; dx/dW are the identical dots XLA's autodiff
+    produces (dW accumulates in f32).
+
+    Measured NEGATIVE on the v5e (same-process A/B at the reference's
+    batch 48, BENCH_FUSED_GRADS=1,0 tools/bench_train.py): 95.99 vs
+    96.41 videos/s — the custom VJP's atomic boundary blocks the very
+    operand fusions it tried to clean up, and the reduce self-times were
+    evidently overlapped.  Default OFF; kept in-tree with grad-parity
+    tests (tests/test_fused_grads.py) as the documented negative result.
+    Trace-time flag like set_remat."""
+    global _GLOBAL_FUSED_GRADS
+    _GLOBAL_FUSED_GRADS = bool(enabled)
+
+
+def fused_grads_enabled() -> bool:
+    return _GLOBAL_FUSED_GRADS
+
+
+@jax.custom_vjp
+def dense_mm(x, kernel, bias):
+    """flax Dense forward (x @ W.astype(x.dtype) + b), custom VJP — see
+    set_fused_grads.  Caller casts x to the layer compute dtype first."""
+    dt = x.dtype
+    return jnp.dot(x, kernel.astype(dt)) + bias.astype(dt)
+
+
+def _dense_mm_fwd(x, kernel, bias):
+    return dense_mm(x, kernel, bias), (x, kernel)
+
+
+def _dense_mm_bwd(res, g):
+    x, kernel = res
+    dt = x.dtype
+    dx = jnp.dot(g, kernel.astype(dt).T)
+    x2 = x.reshape(-1, x.shape[-1])
+    g2 = g.reshape(-1, g.shape[-1])
+    dw = jax.lax.dot_general(
+        x2, g2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ones = jnp.ones((1, g2.shape[0]), g2.dtype)
+    db = jax.lax.dot_general(
+        ones, g2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0]
+    return dx, dw.astype(kernel.dtype), db.astype(kernel.dtype)
+
+
+dense_mm.defvjp(_dense_mm_fwd, _dense_mm_bwd)
+
+
 class TransformerLayer(nn.Module):
     """One post-LN BERT layer with optional KV export / cached decode."""
 
@@ -82,6 +145,17 @@ class TransformerLayer(nn.Module):
         self.ffn_ln = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.dtype, name="ffn_ln")
         self.attn_drop = nn.Dropout(c.attention_probs_dropout_prob)
         self.hidden_drop = nn.Dropout(c.hidden_dropout_prob)
+
+    def _dense(self, mod, x):
+        """Dense apply routed through dense_mm when fused grads are on
+        (bias grad as an MXU dot — set_fused_grads); module call at init
+        so params get created."""
+        if fused_grads_enabled() and not self.is_initializing():
+            p = mod.variables["params"]
+            return dense_mm(
+                x.astype(self.cfg.dtype), p["kernel"], p["bias"]
+            )
+        return mod(x)
 
     def _fused_block_ok(self, x, deterministic: bool) -> bool:
         from vitxtgqa_tpu.ops.attention import _on_tpu, pallas_enabled
@@ -141,9 +215,14 @@ class TransformerLayer(nn.Module):
                 y = fused_block(*args, eps=self.cfg.layer_norm_eps)
                 return tanh_residual_base + jnp.tanh(y)
             return fused_block(*args, eps=self.cfg.layer_norm_eps)
-        attn = self.hidden_drop(self.attn_out(ctx), deterministic=deterministic)
+        attn = self.hidden_drop(
+            self._dense(self.attn_out, ctx), deterministic=deterministic
+        )
         x = self.attn_ln(x_q + attn)
-        ffn = self.ffn_out(nn.gelu(self.ffn_in(x), approximate=False))
+        ffn = self._dense(
+            self.ffn_out,
+            nn.gelu(self._dense(self.ffn_in, x), approximate=False),
+        )
         ffn = self.hidden_drop(ffn, deterministic=deterministic)
         y = self.ffn_ln(x + ffn)
         if tanh_residual_base is not None:
@@ -154,7 +233,7 @@ class TransformerLayer(nn.Module):
                  return_kv: bool = False, quantize: bool = False,
                  tanh_residual_base=None):
         h = self.cfg.num_attention_heads
-        k_raw, v_raw = self.key(x), self.value(x)
+        k_raw, v_raw = self._dense(self.key, x), self._dense(self.value, x)
         if return_kv and quantize:
             # int8 cache emission fused into the flash kernel (eval-only
             # path: the decode harness is deterministic by construction)
@@ -170,7 +249,7 @@ class TransformerLayer(nn.Module):
         # merged-head layout end to end: projections feed the attention (and
         # the KV export IS the decode-cache layout) without split/merge
         # transposes — those relayouts profiled at ~12ms/layer at batch 384
-        q_raw = self.query(x)
+        q_raw = self._dense(self.query, x)
         if not deterministic:
             # names consumed by the selective-remat policies (set_remat
             # "attn"/"attn_qkv"): no-ops unless a save_only_these_names

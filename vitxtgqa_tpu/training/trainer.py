@@ -254,6 +254,14 @@ class BaseTrainer:
             self.logger.write(
                 "fused decode-step kernel disabled (per-layer decode path)"
             )
+        if tpu_cfg is not None and getattr(tpu_cfg, "fused_grads", False):
+            from vitxtgqa_tpu.models.common import set_fused_grads
+
+            set_fused_grads(True)
+            self.logger.write(
+                "fused dense grads enabled (bias grads as MXU dots — "
+                "measured-negative default-off mode, see set_fused_grads)"
+            )
         if tpu_cfg is not None and hasattr(tpu_cfg, "fused_decode_max_batch"):
             from vitxtgqa_tpu.models.common import set_fused_decode_max_batch
 
