@@ -73,11 +73,14 @@ def refmist():
         ref_registry.register(
             "writer", types.SimpleNamespace(write=lambda *a, **k: None)
         )
-        ref_registry.register("vtextgqa_num_final_outputs", NUM_FINAL)
-        ref_registry.register(
-            "vtextgqa_answer_processor",
-            types.SimpleNamespace(BOS_IDX=2, EOS_IDX=3, PAD_IDX=0, UNK_IDX=1),
-        )
+    # UNCONDITIONAL: the reference registry is process-global and other
+    # parity harnesses overwrite these keys (test_legacy_vqa_parity's
+    # NOUT) — each harness must (re-)register its own sizes
+    ref_registry.register("vtextgqa_num_final_outputs", NUM_FINAL)
+    ref_registry.register(
+        "vtextgqa_answer_processor",
+        types.SimpleNamespace(BOS_IDX=2, EOS_IDX=3, PAD_IDX=0, UNK_IDX=1),
+    )
 
     from transformers import DistilBertConfig as HFDistilBertConfig
 

@@ -111,11 +111,16 @@ def refpkg():
     if ref_registry.get("config", no_warning=True) is None:
         ref_registry.register("config", ConfigNode({"datasets": "vtextgqa"}))
         ref_registry.register("writer", types.SimpleNamespace(write=lambda *a, **k: None))
-        ref_registry.register("vtextgqa_num_final_outputs", NUM_FINAL)
-        ref_registry.register(
-            "vtextgqa_answer_processor",
-            types.SimpleNamespace(BOS_IDX=2, EOS_IDX=3, PAD_IDX=0, UNK_IDX=1),
-        )
+    # register the numeric keys UNCONDITIONALLY: the reference registry is
+    # process-global and other parity harnesses (test_legacy_vqa_parity's
+    # NOUT=11) overwrite vtextgqa_num_final_outputs — gating on "config
+    # already present" left the stale value in and the reference model
+    # built a [-949, 768] classifier in full-suite runs
+    ref_registry.register("vtextgqa_num_final_outputs", NUM_FINAL)
+    ref_registry.register(
+        "vtextgqa_answer_processor",
+        types.SimpleNamespace(BOS_IDX=2, EOS_IDX=3, PAD_IDX=0, UNK_IDX=1),
+    )
     import pythia.models.t2s as ref_t2s
     import pythia.modules.spatio_temporal_grounding as ref_stg
     import pythia.modules.losses as ref_losses
