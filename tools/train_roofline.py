@@ -130,6 +130,11 @@ def bucket_profile(profile_dir: str):
     i_name, i_self, i_type = (
         idx("op name", "operation name"), idx("total self"), idx("type"),
     )
+    if i_name is None or i_self is None:
+        raise RuntimeError(
+            "framework_op_stats table lacks an op-name/self-time column "
+            f"(cols={cols}); profile format changed?"
+        )
     buckets = {}
     total = 0.0
     for row in tbl.get("rows", []):

@@ -74,6 +74,17 @@ def info_nce(batch, model_output, temperature: float = 0.1, **_):
     return -logprobs[:, 0].mean()
 
 
+@registry.register_loss("logit_bce")
+def logit_bce(batch, model_output, **_):
+    """BCE-with-logits scaled by the target width — the loss the legacy
+    image-VQA models train with (MMF heritage `LogitBinaryCrossEntropy`;
+    this fork's losses.py dropped the class but its dataset defaults and
+    models still assume logits-space scores, models/pythia.py:277-278)."""
+    scores = model_output["scores"].astype(jnp.float32)
+    targets = batch["targets"].astype(jnp.float32)
+    return _bce_with_logits(scores, targets).mean() * targets.shape[1]
+
+
 @registry.register_loss("bce")
 def bce(batch, model_output, **_):
     """Plain BCE on probability scores, scaled by the target width.

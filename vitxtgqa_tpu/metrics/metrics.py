@@ -147,6 +147,29 @@ class TextVQAAccuracy:
         return float(acc)
 
 
+@registry.register_metric("vqa_accuracy")
+class VQAAccuracy:
+    """Classifier-VQA soft accuracy: the soft target score at the argmax
+    answer, averaged over the batch.
+
+    The legacy image-VQA dataset defaults monitor it
+    (reference: common/defaults/configs/datasets/vqa/vqa2.yml
+    `monitored_metric: vqa2/vqa_accuracy`); the metric class itself was
+    stripped from this fork's metrics.py (it is MMF heritage) — this is
+    its evident definition: targets are leave-one-out soft scores
+    (processors `vqa_answer`/`soft_copy_answer`), so
+    targets[argmax(scores)] IS the VQA accuracy of the predicted answer.
+    """
+
+    name = "vqa_accuracy"
+
+    def __call__(self, tensors, output, host, ctx) -> float:
+        scores = np.asarray(output["scores"])
+        targets = np.asarray(tensors["targets"])
+        picks = scores.argmax(-1)
+        return float(targets[np.arange(len(picks)), picks].mean())
+
+
 @registry.register_metric("stvqa_anls")
 class STVQAANLS:
     name = "stvqa_anls"
@@ -247,7 +270,7 @@ class Metrics:
     the GT index which only exists for val/test.
     """
 
-    TRAIN_ALLOWED = ("textvqa_accuracy", "stvqa_anls")
+    TRAIN_ALLOWED = ("textvqa_accuracy", "stvqa_anls", "vqa_accuracy")
 
     def __init__(self, metric_configs, dataset_name: str = "vtextgqa"):
         self.entries = []

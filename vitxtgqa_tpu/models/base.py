@@ -334,10 +334,15 @@ class JointQAModel(nn.Module):
                     step_ep, (init_emb, kv8, kvsc), jnp.arange(dec_len)
                 )
                 s_steps = jnp.transpose(s_steps, (1, 0, 2))
-                # slice the classifier pad lanes out ONCE, post-scan
+                # slice the classifier pad lanes out ONCE, post-scan.
+                # Decode-scores dtype contract: every branch of
+                # _greedy_decode returns float32 (finish_step's classifier
+                # einsum uses preferred_element_type=f32, ptr_scores_int8
+                # emits f32, and fused_epilogue's out_shape is f32) — the
+                # cast pins that contract against kernel-side drift.
                 return jnp.concatenate(
                     [s_steps[..., :v_fix], s_steps[..., v_p:]], axis=-1
-                )
+                ).astype(jnp.float32)
 
             def step_fused(carry, t):
                 prev_tok, kv8, kvsc = carry

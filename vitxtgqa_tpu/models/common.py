@@ -575,12 +575,16 @@ class TransformerEncoder(nn.Module):
         """Single-kernel decode step (ops.pallas_decode_step): TPU + Pallas
         + int8 cache only.  Folds each decode step's ~10 per-layer ops into
         one launch per STEP — the lever for the launch-bound batch-1..48
-        serving latency (BASELINE.md)."""
-        from vitxtgqa_tpu.ops.attention import _on_tpu, pallas_enabled
+        serving latency (BASELINE.md).  Disengaged under W8A8 so that mode
+        keeps ONE numeric path regardless of batch size (the fused step
+        computes with bf16 weights; mixing it in below the batch cap would
+        silently change numerics within the same opt-in mode)."""
+        from vitxtgqa_tpu.ops.attention import _on_tpu, pallas_enabled, w8a8_enabled
 
         return (
             fused_decode_enabled()
             and kv_cache_int8_enabled()
+            and not w8a8_enabled()
             and pallas_enabled(self.cfg.use_pallas)
             and _on_tpu()
             and not self.is_initializing()

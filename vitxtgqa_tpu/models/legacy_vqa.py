@@ -132,13 +132,31 @@ class _LegacyBase(nn.Module):
 
     def _features(self, batch, attr="image"):
         """image_feature_0, image_feature_1, ... like the reference's
-        process_feature_embedding loop (pythia.py:250-270)."""
+        process_feature_embedding loop (pythia.py:250-270), each run
+        through its configured feature encoder
+        (`<attr>_feature_encodings[i]`, reference pythia.py:65-80 +
+        modules/encoders.py:12-28).  Absent config == `default`
+        (identity), matching every config this fork ships."""
+        from vitxtgqa_tpu.models.encoders import build_image_encoder
+
+        enc_cfgs = _plain(
+            cfg_get(self.config, f"{attr}_feature_encodings", None)
+        ) or []
+        data_dir = str(cfg_get(self.config, "model_data_dir", "") or "")
         feats = []
         i = 0
         while f"{attr}_feature_{i}" in batch:
-            feats.append(
-                batch[f"{attr}_feature_{i}"].astype(self.compute_dtype)
-            )
+            feat = batch[f"{attr}_feature_{i}"].astype(self.compute_dtype)
+            if i < len(enc_cfgs):
+                ec = enc_cfgs[i]
+                params = dict(ec.get("params", {}) or {})
+                params.setdefault("model_data_dir", data_dir)
+                enc, _out = build_image_encoder(
+                    str(ec["type"]), feat.shape[-1],
+                    name=f"{attr}_feature_encoders_{i}", **params,
+                )
+                feat = enc(feat)
+            feats.append(feat)
             i += 1
         return feats
 
@@ -200,9 +218,9 @@ class Pythia(_LegacyBase):
             scores = clf.module.linear_text(clf.module.f_o_text(joint))
             return {"scores": scores}
 
-        # -- image (reference: process_feature_embedding, "default" encoder
-        # == identity; the finetune_faster_rcnn encoder needs detectron
-        # pickles — dispositioned in COVERAGE.md)
+        # -- image (reference: process_feature_embedding; encoders — both
+        # `default` identity and `finetune_faster_rcnn_fpn_fc7` — are
+        # applied inside _features, models/encoders.py)
         fe_cfgs = _feat_emb_cfgs(self.config, "image_feature_embeddings",
                                  hidden)
         locs = batch.get("image_info_0_max_features")

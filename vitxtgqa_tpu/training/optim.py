@@ -182,7 +182,23 @@ def build_optimizer(
         # weight_decay.  All shipped configs use wd=0, but any wd>0 config
         # must reproduce the coupled semantics.
         chain.append(optax.add_decayed_weights(wd))
-    chain.append(optax.adam(schedule, eps=eps))
+    # optimizer family by config `type` (reference build_utils.py:60-66
+    # resolves any torch.optim name; the configs in the wild use Adam —
+    # Adamax/SGD appear in MMF-heritage legacy configs)
+    opt_type = str(getattr(optimizer_attributes, "type", "Adam") or "Adam").lower()
+    if opt_type == "adamax":
+        chain.append(optax.adamax(schedule, eps=eps))
+    elif opt_type == "sgd":
+        chain.append(
+            optax.sgd(schedule, momentum=float(params.get("momentum", 0.0)) or None)
+        )
+    elif opt_type in ("adam", "adamw"):
+        # torch AdamW == decoupled decay; wd handling above is coupled-L2
+        # (torch.optim.Adam).  AdamW-with-wd>0 configs are not in the wild
+        # here; route both to Adam and keep the documented coupled wd.
+        chain.append(optax.adam(schedule, eps=eps))
+    else:
+        raise ValueError(f"unsupported optimizer type {opt_type!r}")
     if model_config is not None:
         scales = module_lr_scales(model_config)
         if scales:

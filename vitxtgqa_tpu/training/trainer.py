@@ -60,7 +60,9 @@ def build_model(model_key: str, model_cfg: Any, dataset_name: str,
     return cls(
         config=model_cfg,
         num_final_outputs=int(num_final),
-        bos_idx=int(proc.BOS_IDX),
+        # legacy image-VQA answer processors (vqa_answer/soft_copy_answer)
+        # have no decode BOS; their models never decode, so any value works
+        bos_idx=int(getattr(proc, "BOS_IDX", 2)),
         compute_dtype=compute_dtype,
         **kwargs,
     )
@@ -785,6 +787,7 @@ class BaseTrainer:
         """Prediction JSON dump (reference: test_reporter.py:17-149,
         vtextgqa/dataset.py:315-363)."""
         loader = self.loaders[split]
+        ds = self.datasets[split]
         predictions = []
         for bi, batch in enumerate(self._prefetched(iter(loader))):
             dev, batch = self._split_device_batch(batch)
@@ -792,6 +795,12 @@ class BaseTrainer:
                 self.eval_step(self.params, dev, self.rng, bi)
             )
             tensors, out, host = self._trim_padding(batch, out)
+            if "pos_scores" not in out and hasattr(ds, "format_for_evalai"):
+                # legacy image-VQA datasets format their own records
+                # (reference: test_reporter.py:126-134 delegates to
+                # dataset.format_for_evalai; vqa2/dataset.py:180-206)
+                predictions.extend(ds.format_for_evalai(tensors, out, host))
+                continue
             pred_inds = np.asarray(out["pos_scores"]).argmax(-1)
             answers = decode_answers(
                 pred_inds, host["context_tokens"], self.answer_processor
