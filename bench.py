@@ -242,7 +242,11 @@ def _run_train_bench(batch_size: int, use_pallas: bool):
     from vitxtgqa_tpu.core.config import build_config
     from vitxtgqa_tpu.losses import Losses
     from vitxtgqa_tpu.models.t2s import T2S
-    from vitxtgqa_tpu.models.common import set_kv_cache_int8, set_remat
+    from vitxtgqa_tpu.models.common import (
+        set_fused_block_bwd,
+        set_kv_cache_int8,
+        set_remat,
+    )
     from vitxtgqa_tpu.ops.attention import set_use_pallas
     from vitxtgqa_tpu.utils.synthetic import synthetic_batch
 
@@ -252,6 +256,12 @@ def _run_train_bench(batch_size: int, use_pallas: bool):
     # kernel (same-process A/B at batch 48: attn 96.3 / attn_qkv 95.7 /
     # full 90.0 videos/s)
     set_remat("attn")
+    # single-kernel block backward (+0.5-0.9% both A/B orders on v5e,
+    # ops/pallas_block_bwd.py); BENCH_FUSED_BLOCK_BWD=0 for the plain
+    # XLA autodiff arm
+    set_fused_block_bwd(
+        os.environ.get("BENCH_FUSED_BLOCK_BWD", "1") == "1" and use_pallas
+    )
 
     cfg = build_config(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -332,6 +342,7 @@ def _run_train_bench(batch_size: int, use_pallas: bool):
         "chained_block_s": round(dt, 4),
         "remat": "attn",
         "variant_scan": True,
+        "fused_block_bwd": os.environ.get("BENCH_FUSED_BLOCK_BWD", "1") == "1" and use_pallas,
     }
 
 

@@ -44,8 +44,9 @@ def _reset_trace_time_globals():
     _common.set_compact_serving(False)
     _common.set_kv_cache_int8(False)
     _common.set_fused_decode(True)
-    _common.set_fused_decode_max_batch(4)
+    _common.set_fused_decode_max_batch(2)
     _common.set_fused_grads(False)
+    _common.set_fused_block_bwd(False)
     _common.set_remat(False)
     _common.set_pipeline(None)
     _attention.set_w8a8(False)

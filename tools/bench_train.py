@@ -28,7 +28,10 @@ USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 REMAT_MODES = os.environ.get("BENCH_REMAT", "1").split(",")
 # BENCH_FUSED_GRADS: "1"/"0" or a comma list for a same-process A/B of the
 # dense_mm custom-VJP bias-grad-as-dot (models/common.set_fused_grads)
-FUSED_GRADS_MODES = os.environ.get("BENCH_FUSED_GRADS", "1").split(",")
+FUSED_GRADS_MODES = os.environ.get("BENCH_FUSED_GRADS", "0").split(",")
+# BENCH_FUSED_BLOCK_BWD: "1"/"0" or a comma list — single-kernel block
+# backward (models/common.set_fused_block_bwd, ops/pallas_block_bwd.py)
+BLOCK_BWD_MODES = os.environ.get("BENCH_FUSED_BLOCK_BWD", "0").split(",")
 # BENCH_VARIANT_SCAN=0 folds the 3 contrastive variants into one 3B batch
 # instead of scanning them sequentially — ~3x the peak activations, but at
 # small batches the fold's better chip utilisation can win
@@ -50,7 +53,11 @@ def main():
     from vitxtgqa_tpu.core.config import build_config
     from vitxtgqa_tpu.losses import Losses
     from vitxtgqa_tpu.models.t2s import T2S
-    from vitxtgqa_tpu.models.common import set_fused_grads, set_remat
+    from vitxtgqa_tpu.models.common import (
+        set_fused_block_bwd,
+        set_fused_grads,
+        set_remat,
+    )
     from vitxtgqa_tpu.utils.synthetic import synthetic_batch
 
     if USE_PALLAS:
@@ -105,15 +112,22 @@ def main():
     # modes run sequentially in ONE process (holding two compiled programs
     # plus two param/opt states resident OOMs the chip); same-process
     # sequential with per-mode warm-up is the next-most-trustworthy A/B
-    mode_list = [(m, fg) for m in REMAT_MODES for fg in FUSED_GRADS_MODES]
-    for mode, fg in mode_list:
+    mode_list = [
+        (m, fg, bb)
+        for m in REMAT_MODES
+        for fg in FUSED_GRADS_MODES
+        for bb in BLOCK_BWD_MODES
+    ]
+    for mode, fg, bb in mode_list:
         set_remat("dots" if mode == "dots" else mode)
         set_fused_grads(fg == "1")
+        set_fused_block_bwd(bb == "1")
         step = make_step()
         params = params0
         opt_state = tx.init(params)
         rng = jax.random.key(7)
-        record = {"remat": mode, "fused_grads": fg == "1"}
+        record = {"remat": mode, "fused_grads": fg == "1",
+                  "fused_block_bwd": bb == "1"}
         try:
             t_c0 = time.perf_counter()
             params, opt_state, total = step(params, opt_state, dev_batch, rng)

@@ -127,6 +127,30 @@ def _dense_mm_bwd(res, g):
 dense_mm.defvjp(_dense_mm_fwd, _dense_mm_bwd)
 
 
+_GLOBAL_FUSED_BLOCK_BWD = False
+
+
+def set_fused_block_bwd(enabled: bool) -> None:
+    """Fused-block BACKWARD kernel (config:
+    training_parameters.tpu.fused_block_bwd): the training-mode
+    post-attention block (attn_out + dropout + LN + FFN + dropout + LN)
+    keeps its plain XLA forward — so the selective-remat policies are
+    undisturbed — but backpropagates through ONE Pallas kernel per layer
+    that computes every input, weight, bias, and LayerNorm-scale gradient
+    in a single pass over the cotangent (ops/pallas_block_bwd.py).
+
+    This is the round-3 roofline's named remedy for the 54 ms of backward
+    reduce fusions (LN stats + LN dscale/dbias + Dense bias grads) at the
+    reference's batch 48.  Trace-time flag like set_remat; A/B via
+    BENCH_FUSED_BLOCK_BWD=1,0 tools/bench_train.py."""
+    global _GLOBAL_FUSED_BLOCK_BWD
+    _GLOBAL_FUSED_BLOCK_BWD = bool(enabled)
+
+
+def fused_block_bwd_enabled() -> bool:
+    return _GLOBAL_FUSED_BLOCK_BWD
+
+
 class TransformerLayer(nn.Module):
     """One post-LN BERT layer with optional KV export / cached decode."""
 
@@ -175,7 +199,50 @@ class TransformerLayer(nn.Module):
             and x.shape[-1] == self.cfg.hidden_size
         )
 
+    def _fused_block_bwd_ok(self, x, deterministic, tanh_residual_base):
+        from vitxtgqa_tpu.ops.attention import _on_tpu, pallas_enabled
+        from vitxtgqa_tpu.ops.pallas_block_bwd import block_bwd_kernel_ok
+
+        return (
+            not deterministic
+            and tanh_residual_base is None
+            and fused_block_bwd_enabled()
+            and not fused_grads_enabled()
+            and not self.is_initializing()
+            and pallas_enabled(self.cfg.use_pallas)
+            and _on_tpu()
+            and x.shape[-1] == self.cfg.hidden_size
+            and block_bwd_kernel_ok(
+                self.cfg.hidden_size, self.cfg.intermediate_size
+            )
+        )
+
     def _finish(self, x_q, ctx, deterministic, tanh_residual_base=None):
+        if self._fused_block_bwd_ok(x_q, deterministic, tanh_residual_base):
+            # training path: XLA forward + single-kernel backward
+            # (set_fused_block_bwd) — dropout masks drawn here so the
+            # kernel backward and any remat recompute see the same pattern
+            from vitxtgqa_tpu.ops.pallas_block_bwd import block_train
+
+            p = lambda m: m.variables["params"]
+            po, p1, p2 = p(self.attn_out), p(self.ffn_in), p(self.ffn_out)
+            ln1, ln2 = p(self.attn_ln), p(self.ffn_ln)
+            rate = float(self.cfg.hidden_dropout_prob)
+            mask_a = mask_f = None
+            if rate > 0.0:
+                keep = 1.0 - rate
+                mask_a = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, x_q.shape
+                )
+                mask_f = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, x_q.shape
+                )
+            return block_train(
+                x_q, ctx, po["kernel"], po["bias"], ln1["scale"],
+                ln1["bias"], p1["kernel"], p1["bias"], p2["kernel"],
+                p2["bias"], ln2["scale"], ln2["bias"], mask_a, mask_f,
+                rate=rate, eps=self.cfg.layer_norm_eps,
+            )
         if self._fused_block_ok(x_q, deterministic):
             # whole post-attention block in one kernel: attn_out matmul,
             # both residual+LN clusters, and the gelu intermediate stay in
@@ -322,10 +389,12 @@ def kv_cache_int8_enabled() -> bool:
 _GLOBAL_FUSED_DECODE = True
 # above this batch the per-layer decode kernels win: the fused step only
 # measured faster in the launch-bound near-batch-1 regime (-41% device
-# latency at batch 1, same-session A/B; neutral-to-slower from batch 8 up
-# in BOTH the 1-row and the 8-row-blocked form — tools/ab_fused_decode.py,
-# numbers in BASELINE.md).  Default keeps it to single-digit batches.
-_GLOBAL_FUSED_DECODE_MAX_BATCH = 4
+# latency at batch 1 round 3; round-4 chained A/B per batch: fused
+# +12% at 1, +15% at 2, -6% at 4, neutral-to-slower from 8 up in BOTH
+# kernel forms — tools/ab_fused_decode.py, numbers in BASELINE.md).
+# Batch 4 was inside the default cap on the round-3 guess; the round-4
+# per-batch measurement moved the cap to 2.
+_GLOBAL_FUSED_DECODE_MAX_BATCH = 2
 
 
 def set_fused_decode_max_batch(n: int) -> None:

@@ -244,25 +244,45 @@ class BaseTrainer:
 
             set_use_pallas(True)
             self.logger.write("fused Pallas attention enabled")
+        # mode flags are process-wide globals: set them UNCONDITIONALLY
+        # from this trainer's config so a previous in-process trainer/tool
+        # cannot poison this one (same leak class as the round-3
+        # reference_compat fix — see CLAUDE.md)
+        from vitxtgqa_tpu.models.common import (
+            set_fused_block_bwd,
+            set_fused_decode,
+            set_fused_grads,
+            set_kv_cache_int8,
+        )
+
+        set_kv_cache_int8(
+            bool(tpu_cfg is not None and getattr(tpu_cfg, "kv_cache_int8", False))
+        )
         if tpu_cfg is not None and getattr(tpu_cfg, "kv_cache_int8", False):
-            from vitxtgqa_tpu.models.common import set_kv_cache_int8
-
-            set_kv_cache_int8(True)
             self.logger.write("int8 decode KV cache enabled")
+        set_fused_decode(
+            bool(tpu_cfg is None or getattr(tpu_cfg, "fused_decode", True))
+        )
         if tpu_cfg is not None and not getattr(tpu_cfg, "fused_decode", True):
-            from vitxtgqa_tpu.models.common import set_fused_decode
-
-            set_fused_decode(False)
             self.logger.write(
                 "fused decode-step kernel disabled (per-layer decode path)"
             )
+        set_fused_grads(
+            bool(tpu_cfg is not None and getattr(tpu_cfg, "fused_grads", False))
+        )
         if tpu_cfg is not None and getattr(tpu_cfg, "fused_grads", False):
-            from vitxtgqa_tpu.models.common import set_fused_grads
-
-            set_fused_grads(True)
             self.logger.write(
                 "fused dense grads enabled (bias grads as MXU dots — "
                 "measured-negative default-off mode, see set_fused_grads)"
+            )
+        set_fused_block_bwd(
+            bool(tpu_cfg is not None
+                 and getattr(tpu_cfg, "fused_block_bwd", False))
+        )
+        if tpu_cfg is not None and getattr(tpu_cfg, "fused_block_bwd", False):
+            self.logger.write(
+                "fused-block backward kernel enabled (single-kernel "
+                "block backward per layer, see set_fused_block_bwd)"
             )
         if tpu_cfg is not None and hasattr(tpu_cfg, "fused_decode_max_batch"):
             from vitxtgqa_tpu.models.common import set_fused_decode_max_batch
@@ -270,19 +290,24 @@ class BaseTrainer:
             set_fused_decode_max_batch(
                 int(tpu_cfg.fused_decode_max_batch)
             )
-        if tpu_cfg is not None and getattr(tpu_cfg, "compact_serving", False):
-            from vitxtgqa_tpu.models.common import set_compact_serving
+        from vitxtgqa_tpu.models.common import set_compact_serving
 
-            set_compact_serving(True)
+        set_compact_serving(
+            bool(tpu_cfg is not None
+                 and getattr(tpu_cfg, "compact_serving", False))
+        )
+        if tpu_cfg is not None and getattr(tpu_cfg, "compact_serving", False):
             self.logger.write(
                 "grounding-compacted serving enabled (inference_only "
                 "decode runs on the grounding-kept rows; documented "
                 "ptr-score deviation — see set_compact_serving)"
             )
-        if tpu_cfg is not None and getattr(tpu_cfg, "w8a8", False):
-            from vitxtgqa_tpu.ops.attention import set_w8a8
+        from vitxtgqa_tpu.ops.attention import set_w8a8
 
-            set_w8a8(True)
+        set_w8a8(
+            bool(tpu_cfg is not None and getattr(tpu_cfg, "w8a8", False))
+        )
+        if tpu_cfg is not None and getattr(tpu_cfg, "w8a8", False):
             self.logger.write(
                 "W8A8 int8 fused blocks enabled (experimental serving "
                 "mode — validate metrics against a bf16 run)"
