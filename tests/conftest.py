@@ -42,6 +42,7 @@ def _reset_trace_time_globals():
     from vitxtgqa_tpu.ops import attention as _attention
 
     _common.set_compact_serving(False)
+    _common.set_compact_train(False)
     _common.set_kv_cache_int8(False)
     _common.set_fused_decode(True)
     _common.set_fused_decode_max_batch(2)

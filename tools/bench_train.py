@@ -32,6 +32,10 @@ FUSED_GRADS_MODES = os.environ.get("BENCH_FUSED_GRADS", "0").split(",")
 # BENCH_FUSED_BLOCK_BWD: "1"/"0" or a comma list — single-kernel block
 # backward (models/common.set_fused_block_bwd, ops/pallas_block_bwd.py)
 BLOCK_BWD_MODES = os.environ.get("BENCH_FUSED_BLOCK_BWD", "0").split(",")
+# BENCH_COMPACT_TRAIN: "1"/"0" or a comma list — experimental compact
+# training (models/common.set_compact_train; pos/neg variants on the
+# grounding-kept rows, documented estimator deviation)
+COMPACT_TRAIN_MODES = os.environ.get("BENCH_COMPACT_TRAIN", "0").split(",")
 # BENCH_VARIANT_SCAN=0 folds the 3 contrastive variants into one 3B batch
 # instead of scanning them sequentially — ~3x the peak activations, but at
 # small batches the fold's better chip utilisation can win
@@ -54,6 +58,7 @@ def main():
     from vitxtgqa_tpu.losses import Losses
     from vitxtgqa_tpu.models.t2s import T2S
     from vitxtgqa_tpu.models.common import (
+        set_compact_train,
         set_fused_block_bwd,
         set_fused_grads,
         set_remat,
@@ -113,21 +118,23 @@ def main():
     # plus two param/opt states resident OOMs the chip); same-process
     # sequential with per-mode warm-up is the next-most-trustworthy A/B
     mode_list = [
-        (m, fg, bb)
+        (m, fg, bb, ct)
         for m in REMAT_MODES
         for fg in FUSED_GRADS_MODES
         for bb in BLOCK_BWD_MODES
+        for ct in COMPACT_TRAIN_MODES
     ]
-    for mode, fg, bb in mode_list:
+    for mode, fg, bb, ct in mode_list:
         set_remat("dots" if mode == "dots" else mode)
         set_fused_grads(fg == "1")
         set_fused_block_bwd(bb == "1")
+        set_compact_train(ct == "1")
         step = make_step()
         params = params0
         opt_state = tx.init(params)
         rng = jax.random.key(7)
         record = {"remat": mode, "fused_grads": fg == "1",
-                  "fused_block_bwd": bb == "1"}
+                  "fused_block_bwd": bb == "1", "compact_train": ct == "1"}
         try:
             t_c0 = time.perf_counter()
             params, opt_state, total = step(params, opt_state, dev_batch, rng)

@@ -105,10 +105,13 @@ class JointQAModel(nn.Module):
         return jnp.concatenate([fixed, dynamic], axis=-1)
 
     @staticmethod
-    def _scatter_dynamic(dynamic, idx, full_n, may_pad):
+    def _scatter_dynamic(dynamic, idx, full_n, may_pad, fill=None):
         """Scatter compact-row copy scores [B, S, n_compact] back to the
         full OCR width [B, S, full_n]; non-kept slots pin to -1e4 (the
-        documented compact deviation vs the reference's raw 0/1 ptr mask).
+        documented compact deviation vs the reference's raw 0/1 ptr mask),
+        or to ``fill`` [B, S, full_n] when given (compact TRAINING
+        substitutes the ref variant's stop-gradient scores there — see
+        models/common.set_compact_train).
 
         ``may_pad``: -1-padded gather lists (t2s_wo_sg) write into a trash
         slot that is sliced away — their rows are masked, and scattering at
@@ -118,11 +121,19 @@ class JointQAModel(nn.Module):
         idx_b = jnp.broadcast_to(idx[:, None, :], (b, s, n))
         if may_pad:
             safe = jnp.where(idx_b < 0, full_n, idx_b)
-            full = jnp.full((b, s, full_n + 1), -1e4, dynamic.dtype)
+            if fill is None:
+                full = jnp.full((b, s, full_n + 1), -1e4, dynamic.dtype)
+            else:
+                full = jnp.pad(
+                    fill.astype(dynamic.dtype), ((0, 0), (0, 0), (0, 1))
+                )
             return jnp.put_along_axis(
                 full, safe, dynamic, axis=-1, inplace=False
             )[..., :full_n]
-        full = jnp.full((b, s, full_n), -1e4, dynamic.dtype)
+        if fill is None:
+            full = jnp.full((b, s, full_n), -1e4, dynamic.dtype)
+        else:
+            full = fill.astype(dynamic.dtype)
         return jnp.put_along_axis(full, idx_b, dynamic, axis=-1,
                                   inplace=False)
 
@@ -168,10 +179,13 @@ class JointQAModel(nn.Module):
         ocr_out = h[:, l0 - n_ocr : l0]
         dec_out = h[:, -dec_len:]
         if dynamic_scatter is not None:
-            idx, full_n, may_pad = dynamic_scatter
+            idx, full_n, may_pad, *rest = dynamic_scatter
             fixed = self.classifier(dec_out)
             dynamic = self.ocr_ptr_net(dec_out, ocr_out, ocr_masks)
-            dynamic = self._scatter_dynamic(dynamic, idx, full_n, may_pad)
+            dynamic = self._scatter_dynamic(
+                dynamic, idx, full_n, may_pad,
+                fill=(rest[0] if rest else None),
+            )
             return jnp.concatenate([fixed, dynamic], axis=-1)
         return self._scores(dec_out, ocr_out, ocr_masks)
 

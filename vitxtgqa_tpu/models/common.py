@@ -426,6 +426,36 @@ def fused_decode_enabled() -> bool:
     return _GLOBAL_FUSED_DECODE
 
 
+_GLOBAL_COMPACT_TRAIN = False
+
+
+def set_compact_train(enabled: bool) -> None:
+    """EXPERIMENTAL grounding-compacted *training* (config:
+    training_parameters.tpu.compact_train) — the pos/neg contrastive
+    variants run their teacher-forced MMT pass on the statically-kept
+    grounding rows (384 instead of 1152 at production dims), like compact
+    full-eval; the ref variant keeps the full sequence.
+
+    Estimator deviation (why this is NOT default): kept-row scores and
+    their gradients are exact (attention permutation-equivariance — the
+    same argument as compact serving), but the full path computes LIVE
+    copy scores for non-kept OCR slots (the reference's raw 0/1 ptr-mask
+    quirk) which feed the InfoNCE cosine over the full score vector and
+    the BCE on non-grounded answer slots.  The compact pass cannot
+    compute those rows; it substitutes the ref variant's scores
+    (stop-gradient) for them — bounded and well-scaled, but those slots
+    contribute no gradient and their pos/neg-specific values are
+    approximated by ref's.  Keep off unless the trajectory evidence in
+    BASELINE.md supports it for your use; trace-time flag like
+    set_compact_serving."""
+    global _GLOBAL_COMPACT_TRAIN
+    _GLOBAL_COMPACT_TRAIN = bool(enabled)
+
+
+def compact_train_enabled() -> bool:
+    return _GLOBAL_COMPACT_TRAIN
+
+
 _GLOBAL_COMPACT_SERVING = False
 
 

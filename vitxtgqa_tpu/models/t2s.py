@@ -301,6 +301,57 @@ class T2S(JointQAModel):
                 )
             return {"pos_scores": pos, **common}
 
+        from vitxtgqa_tpu.models.common import compact_train_enabled
+
+        if (
+            train
+            and compact_train_enabled()
+            and not self.is_initializing()
+            and "pos_ocr_idx" in g
+            and "neg_ocr_idx" in g
+        ):
+            # EXPERIMENTAL compact training (set_compact_train): pos/neg
+            # teacher-forced passes on the statically-kept grounding rows
+            # (the compact full-eval geometry); ref stays full.  Kept-row
+            # scores and gradients are exact; non-kept copy-score slots
+            # take the ref variant's stop-gradient values (the documented
+            # estimator deviation — see set_compact_train docstring and
+            # BASELINE.md for the trajectory evidence).
+            prev_inds = batch["train_prev_inds"]
+            enc_mask_full = jnp.concatenate(
+                [txt_mask, obj_mask, ocr_mask], axis=1
+            )
+            ref = self._mmt_full(
+                txt_emb, obj_in, ocr_in, enc_mask_full, ocr_mask,
+                prev_inds, deterministic,
+            )
+            n_ocr = ocr_in.shape[1]
+            ref_fill = jax.lax.stop_gradient(ref[..., -n_ocr:])
+            take = lambda x, i: jnp.take_along_axis(x, i[..., None], axis=1)
+
+            def compact_variant(pfx):
+                oi = g[f"{pfx}_obj_idx"].astype(jnp.int32)
+                ci = g[f"{pfx}_ocr_idx"].astype(jnp.int32)
+                # mask VALUES gathered from the gumbel hard masks so the
+                # straight-through gradient to the grounding scores flows
+                # through the attention bias and the ptr raw-mask add,
+                # exactly as in the full pass's kept entries
+                obj_m = jnp.take_along_axis(g[f"{pfx}_obj_mask"], oi, axis=1)
+                ocr_m = jnp.take_along_axis(g[f"{pfx}_ocr_mask"], ci, axis=1)
+                enc_m = jnp.concatenate([txt_mask, obj_m, ocr_m], axis=1)
+                return self._mmt_full(
+                    txt_emb, take(obj_in, oi), take(ocr_in, ci), enc_m,
+                    ocr_m, prev_inds, deterministic, embed_ocr=ocr_in,
+                    dynamic_scatter=(ci, n_ocr, False, ref_fill),
+                )
+
+            return {
+                "ref_scores": ref,
+                "pos_scores": compact_variant("pos"),
+                "neg_scores": compact_variant("neg"),
+                **common,
+            }
+
         if (
             train
             and self.train_variant_scan

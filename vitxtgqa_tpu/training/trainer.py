@@ -290,8 +290,21 @@ class BaseTrainer:
             set_fused_decode_max_batch(
                 int(tpu_cfg.fused_decode_max_batch)
             )
-        from vitxtgqa_tpu.models.common import set_compact_serving
+        from vitxtgqa_tpu.models.common import (
+            set_compact_serving,
+            set_compact_train,
+        )
 
+        set_compact_train(
+            bool(tpu_cfg is not None
+                 and getattr(tpu_cfg, "compact_train", False))
+        )
+        if tpu_cfg is not None and getattr(tpu_cfg, "compact_train", False):
+            self.logger.write(
+                "EXPERIMENTAL compact training enabled (pos/neg variants "
+                "on grounding-kept rows — estimator deviation, see "
+                "set_compact_train)"
+            )
         set_compact_serving(
             bool(tpu_cfg is not None
                  and getattr(tpu_cfg, "compact_serving", False))
