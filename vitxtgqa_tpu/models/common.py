@@ -449,10 +449,21 @@ def set_compact_train(enabled: bool) -> None:
     BASELINE.md supports it for your use; trace-time flag like
     set_compact_serving."""
     global _GLOBAL_COMPACT_TRAIN
-    _GLOBAL_COMPACT_TRAIN = bool(enabled)
+    if isinstance(enabled, str):
+        mode = enabled.lower()
+        _GLOBAL_COMPACT_TRAIN = (
+            mode if mode == "live"
+            else mode not in ("", "0", "false", "none")
+        )
+    else:
+        _GLOBAL_COMPACT_TRAIN = bool(enabled)
 
 
-def compact_train_enabled() -> bool:
+def compact_train_enabled():
+    """False | True (stop-grad ref fill) | "live" (gradient flows through
+    the ref fill — the BCE/InfoNCE gradient on non-kept slots reaches the
+    shared MMT weights via the ref variant's computation of those rows,
+    approximating the full estimator's non-kept-score gradients)."""
     return _GLOBAL_COMPACT_TRAIN
 
 

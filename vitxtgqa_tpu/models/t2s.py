@@ -326,7 +326,9 @@ class T2S(JointQAModel):
                 prev_inds, deterministic,
             )
             n_ocr = ocr_in.shape[1]
-            ref_fill = jax.lax.stop_gradient(ref[..., -n_ocr:])
+            ref_fill = ref[..., -n_ocr:]
+            if compact_train_enabled() != "live":
+                ref_fill = jax.lax.stop_gradient(ref_fill)
             take = lambda x, i: jnp.take_along_axis(x, i[..., None], axis=1)
 
             def compact_variant(pfx):

@@ -296,8 +296,8 @@ class BaseTrainer:
         )
 
         set_compact_train(
-            bool(tpu_cfg is not None
-                 and getattr(tpu_cfg, "compact_train", False))
+            getattr(tpu_cfg, "compact_train", False)
+            if tpu_cfg is not None else False
         )
         if tpu_cfg is not None and getattr(tpu_cfg, "compact_train", False):
             self.logger.write(
