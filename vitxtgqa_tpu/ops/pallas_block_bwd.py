@@ -147,7 +147,12 @@ def _forward_with_residuals(x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2,
         ffn = jnp.where(mask_f != 0, ffn / keep, jnp.zeros_like(ffn))
     x2h = x + ffn
     y = _ln_f32(x2h, s2, g2, eps).astype(dt)
-    return y, (ctx, x1h, pre1, x2h)
+    # h rides as a residual: the backward then reuses the forward's exact
+    # bf16 gelu output for the dW2 operand instead of recomputing it with
+    # the in-kernel A-S erf — bit-faithful AND it drops one of the two
+    # transcendental passes over [R, M] (a full-step A/B with ALL
+    # transcendentals stubbed out measured them at ~9 ms/step, ~1.6%)
+    return y, (ctx, x1h, pre1, h, x2h)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -157,7 +162,7 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.jit, static_argnames=("rate", "eps", "interpret", "has_dropout")
 )
-def _bwd_impl(g, ctx, x1h, pre1, x2h, wo, w1, w2, s1, g1, s2, mask_a,
+def _bwd_impl(g, ctx, x1h, pre1, h, x2h, wo, w1, w2, s1, g1, s2, mask_a,
               mask_f, rate: float, eps: float, interpret: bool,
               has_dropout: bool):
     dt = ctx.dtype
@@ -170,15 +175,16 @@ def _bwd_impl(g, ctx, x1h, pre1, x2h, wo, w1, w2, s1, g1, s2, mask_a,
     ctx2 = pad(ctx)
     x1h2 = pad(x1h)
     pre12 = pad(pre1)
+    h2 = pad(h)
     x2h2 = pad(x2h)
     row = lambda w: pl.BlockSpec((_BLOCK_R, w), lambda i: (i, 0))
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
     in_specs = [
-        row(d), row(d), row(d), row(m), row(d),
+        row(d), row(d), row(d), row(m), row(m), row(d),
         full(d, d), full(d, m), full(m, d),
         full(1, d), full(1, d), full(1, d),
     ]
-    inputs = [g2d, ctx2, x1h2, pre12, x2h2, wo.astype(dt), w1.astype(dt),
+    inputs = [g2d, ctx2, x1h2, pre12, h2, x2h2, wo.astype(dt), w1.astype(dt),
               w2.astype(dt), s1.astype(jnp.float32)[None, :],
               g1.astype(jnp.float32)[None, :],
               s2.astype(jnp.float32)[None, :]]
@@ -223,10 +229,10 @@ def _bwd_impl(g, ctx, x1h, pre1, x2h, wo, w1, w2, s1, g1, s2, mask_a,
             # 2 d^2 dots + 4 d*m dots per row
             flops=2 * rp * (2 * d * d + 4 * d * m),
             bytes_accessed=(
-                rp * (5 * d + m) * 2 + (d * d + 2 * d * m) * 2
+                rp * (5 * d + 2 * m) * 2 + (d * d + 2 * d * m) * 2
                 + (d * d + 2 * d * m) * 4
             ),
-            transcendentals=2 * rp * m,
+            transcendentals=rp * m,
         ),
         interpret=interpret,
     )(*inputs)
@@ -235,9 +241,9 @@ def _bwd_impl(g, ctx, x1h, pre1, x2h, wo, w1, w2, s1, g1, s2, mask_a,
             dw2, db2[0], ds2[0], dg2[0])
 
 
-def _block_bwd_kernel(g_ref, ctx_ref, x1h_ref, pre1_ref, x2h_ref, wo_ref,
-                      w1_ref, w2_ref, s1_ref, g1_ref, s2_ref, *rest,
-                      rate, eps, has_dropout):
+def _block_bwd_kernel(g_ref, ctx_ref, x1h_ref, pre1_ref, h_ref, x2h_ref,
+                      wo_ref, w1_ref, w2_ref, s1_ref, g1_ref, s2_ref,
+                      *rest, rate, eps, has_dropout):
     """Single-pass block backward; weight-grad outputs accumulate across
     the sequential row-block grid (constant index maps)."""
     if has_dropout:
@@ -282,7 +288,7 @@ def _block_bwd_kernel(g_ref, ctx_ref, x1h_ref, pre1_ref, x2h_ref, wo_ref,
     db2_ref[...] += jnp.sum(dlin2, axis=0, keepdims=True)
     dlin2_b = dlin2.astype(dt)
     p1 = pre1_ref[...].astype(jnp.float32)  # [R, M]
-    hb = _gelu(p1).astype(dt)
+    hb = h_ref[...]  # the forward's exact bf16 gelu output
     dw2_ref[...] += jax.lax.dot_general(  # h^T dlin2 -> [M, D]
         hb, dlin2_b, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -354,12 +360,13 @@ def _flatten(a, d):
 
 
 def _bwd_common(rate, eps, interpret, res, g, mask_a, mask_f):
-    (wdt, ctx, x1h, pre1, x2h) = res
+    (wdt, ctx, x1h, pre1, h, x2h) = res
     d = ctx.shape[-1]
     has_dropout = rate > 0.0
     outs = _bwd_impl(
         _flatten(g, d), _flatten(ctx, d), _flatten(x1h, d),
-        _flatten(pre1, pre1.shape[-1]), _flatten(x2h, d),
+        _flatten(pre1, pre1.shape[-1]), _flatten(h, h.shape[-1]),
+        _flatten(x2h, d),
         *wdt,
         _flatten(mask_a, d) if has_dropout else None,
         _flatten(mask_f, d) if has_dropout else None,
@@ -380,12 +387,12 @@ def _block_do(rate, eps, interpret, x_q, ctx, wo, bo, s1, g1, w1, b1, w2,
 
 def _block_do_fwd(rate, eps, interpret, x_q, ctx, wo, bo, s1, g1, w1, b1,
                   w2, b2, s2, g2, mask_a, mask_f):
-    y, (ctxb, x1h, pre1, x2h) = _forward_with_residuals(
+    y, (ctxb, x1h, pre1, h, x2h) = _forward_with_residuals(
         x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2, g2, mask_a, mask_f,
         rate, eps,
     )
     wdt = (wo, w1, w2, s1, g1, s2)
-    return y, ((wdt, ctxb, x1h, pre1, x2h), mask_a, mask_f)
+    return y, ((wdt, ctxb, x1h, pre1, h, x2h), mask_a, mask_f)
 
 
 def _block_do_bwd(rate, eps, interpret, res, g):
@@ -407,12 +414,12 @@ def _block_nodo(eps, interpret, x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2,
 
 def _block_nodo_fwd(eps, interpret, x_q, ctx, wo, bo, s1, g1, w1, b1, w2,
                     b2, s2, g2):
-    y, (ctxb, x1h, pre1, x2h) = _forward_with_residuals(
+    y, (ctxb, x1h, pre1, h, x2h) = _forward_with_residuals(
         x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2, g2, None, None,
         0.0, eps,
     )
     wdt = (wo, w1, w2, s1, g1, s2)
-    return y, (wdt, ctxb, x1h, pre1, x2h)
+    return y, (wdt, ctxb, x1h, pre1, h, x2h)
 
 
 def _block_nodo_bwd(eps, interpret, res, g):
