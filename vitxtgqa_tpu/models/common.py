@@ -141,8 +141,10 @@ def set_fused_block_bwd(enabled: bool) -> None:
 
     This is the round-3 roofline's named remedy for the 54 ms of backward
     reduce fusions (LN stats + LN dscale/dbias + Dense bias grads) at the
-    reference's batch 48.  Trace-time flag like set_remat; A/B via
-    BENCH_FUSED_BLOCK_BWD=1,0 tools/bench_train.py."""
+    reference's batch 48.  Measured +4.1% (99.8 vs 95.8 videos/s,
+    same-process A/B; BASELINE.md for the v1-vs-v2 history).  Trace-time
+    flag like set_remat; A/B via BENCH_FUSED_BLOCK_BWD=1,0
+    tools/bench_train.py."""
     global _GLOBAL_FUSED_BLOCK_BWD
     _GLOBAL_FUSED_BLOCK_BWD = bool(enabled)
 
