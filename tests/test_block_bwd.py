@@ -143,8 +143,6 @@ def test_mask_zero_rows_drop_grads():
 def test_flax_layer_integration():
     """TransformerLayer._finish routed through block_train (gates patched
     for CPU) matches the plain flax path: value and grads, dropout off."""
-    from flax import linen as nn
-
     from vitxtgqa_tpu.models import common
     from vitxtgqa_tpu.models.common import TransformerConfig, TransformerLayer
     from vitxtgqa_tpu.ops import attention as att

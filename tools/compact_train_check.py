@@ -88,14 +88,6 @@ def main():
     dev_eval = jax.device_put(batch)
     tx = optax.adam(1e-4)
 
-    def loss_fn(p, b, step):
-        out = model.apply(
-            {"params": p}, b, train=True,
-            rngs={"dropout": jax.random.fold_in(jax.random.key(11), step),
-                  "gumbel": jax.random.fold_in(jax.random.key(12), step)},
-        )
-        return pos_bce_loss(b, out) + 1000.0 * info_nce(b, out)
-
     def loss_fn_seeded(p, b, step, base_d, base_g):
         out = model.apply(
             {"params": p}, b, train=True,

@@ -26,12 +26,16 @@ so none of the reductions makes its own trip over HBM, and the weight-grad
 dots accumulate in fp32 across row-block grid steps (slightly *better*
 numerics than XLA's bf16 dW dots).
 
-Residuals saved by the forward: (ctx, x1h, pre1, x2h [+ dropout masks]) —
-all values the XLA forward materialises anyway; LN statistics are recomputed
-in-kernel from x1h/x2h (a [R, 1] fp32 VPU reduce — the forward-direction
-equivalent profiled at ~0.1 ms/step).  The gelu derivative uses the same
-Abramowitz-Stegun erf approximation as ops.pallas_ffn (max abs err 1.5e-7,
-two orders below bf16 resolution).
+Residuals saved by the forward: (ctx, x1h, pre1, h, x2h [+ dropout
+masks]) — all values the XLA forward materialises anyway; LN statistics
+are recomputed in-kernel from x1h/x2h (a [R, 1] fp32 VPU reduce — the
+forward-direction equivalent profiled at ~0.1 ms/step).  ``h`` (the
+forward's exact bf16 gelu output) feeds the dW2 dot directly; only the
+gelu DERIVATIVE recomputes, via the same Abramowitz-Stegun erf
+approximation as ops.pallas_ffn (max abs err 1.5e-7, two orders below
+bf16 resolution).  Saving h instead of recomputing it measured +3.5%
+on the full train step (the in-kernel transcendentals were ~9 ms/step
+— BASELINE.md v1-vs-v2 table).
 
 Dropout: masks are drawn OUTSIDE the custom_vjp (jax.random.bernoulli, same
 semantics as flax ``nn.Dropout``: ``where(mask, x/keep, 0)``) and passed as
