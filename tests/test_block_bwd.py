@@ -198,3 +198,56 @@ def test_flax_layer_integration():
             rtol=5e-4, atol=5e-4,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_flax_layer_integration_tanh_residual():
+    """The QTV joint-residual layer (tanh_residual_base) composes with the
+    fused backward: kernel covers the block, XLA autodiffs base+tanh."""
+    from vitxtgqa_tpu.models import common
+    from vitxtgqa_tpu.models.common import TransformerConfig, TransformerLayer
+    from vitxtgqa_tpu.ops import attention as att
+
+    cfg = TransformerConfig(
+        hidden_size=D, num_hidden_layers=1, num_attention_heads=4,
+        intermediate_size=M, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, dtype=jnp.float32,
+    )
+    layer = TransformerLayer(cfg)
+    b, l = 2, 64
+    x = jax.random.normal(jax.random.key(15), (b, l, D), jnp.float32)
+    base = jax.random.normal(jax.random.key(16), (b, l, D), jnp.float32)
+    bias = jnp.zeros((b, 1, 1, l), jnp.float32)
+    params = layer.init(jax.random.key(6), x, bias)["params"]
+
+    def total(p):
+        y = layer.apply(
+            {"params": p}, x, bias, False,
+            rngs={"dropout": jax.random.key(8)},
+            tanh_residual_base=base,
+        )
+        return jnp.sum(jnp.sin(y))
+
+    base_val, base_grads = jax.value_and_grad(total)(params)
+
+    import vitxtgqa_tpu.ops.pallas_block_bwd as pbb
+
+    orig_on_tpu = att._on_tpu
+    orig_bt = pbb.block_train
+    common.set_fused_block_bwd(True)
+    att._on_tpu = lambda: True
+    pbb.block_train = functools.partial(orig_bt, interpret=True)
+    try:
+        fused_val, fused_grads = jax.value_and_grad(total)(params)
+    finally:
+        common.set_fused_block_bwd(False)
+        att._on_tpu = orig_on_tpu
+        pbb.block_train = orig_bt
+
+    np.testing.assert_allclose(float(fused_val), float(base_val), rtol=1e-5)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(fused_grads))
+    for path, g in jax.tree_util.tree_leaves_with_path(base_grads):
+        np.testing.assert_allclose(
+            np.asarray(flat_f[path], np.float32),
+            np.asarray(g, np.float32), rtol=5e-4, atol=5e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )

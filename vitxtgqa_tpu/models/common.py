@@ -205,9 +205,10 @@ class TransformerLayer(nn.Module):
         from vitxtgqa_tpu.ops.attention import _on_tpu, pallas_enabled
         from vitxtgqa_tpu.ops.pallas_block_bwd import block_bwd_kernel_ok
 
+        # tanh_residual_base (the QTV joint residual) composes fine: the
+        # kernel covers the block, XLA autodiffs the base+tanh epilogue
         return (
             not deterministic
-            and tanh_residual_base is None
             and fused_block_bwd_enabled()
             and not fused_grads_enabled()
             and not self.is_initializing()
@@ -239,12 +240,15 @@ class TransformerLayer(nn.Module):
                 mask_f = jax.random.bernoulli(
                     self.make_rng("dropout"), keep, x_q.shape
                 )
-            return block_train(
+            y = block_train(
                 x_q, ctx, po["kernel"], po["bias"], ln1["scale"],
                 ln1["bias"], p1["kernel"], p1["bias"], p2["kernel"],
                 p2["bias"], ln2["scale"], ln2["bias"], mask_a, mask_f,
                 rate=rate, eps=self.cfg.layer_norm_eps,
             )
+            if tanh_residual_base is not None:
+                y = tanh_residual_base + jnp.tanh(y)
+            return y
         if self._fused_block_ok(x_q, deterministic):
             # whole post-attention block in one kernel: attn_out matmul,
             # both residual+LN clusters, and the gelu intermediate stay in
