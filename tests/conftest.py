@@ -45,9 +45,14 @@ def _reset_trace_time_globals():
     _common.set_compact_train(False)
     _common.set_kv_cache_int8(False)
     _common.set_fused_decode(True)
-    _common.set_fused_decode_max_batch(2)
+    _common.set_fused_decode_max_batch(
+        _common.DEFAULT_FUSED_DECODE_MAX_BATCH
+    )
     _common.set_fused_grads(False)
     _common.set_fused_block_bwd(False)
+    from vitxtgqa_tpu.ops import pallas_block_bwd as _pbb
+
+    _pbb.set_block_recompute_fwd(False)
     _common.set_remat(False)
     _common.set_pipeline(None)
     _attention.set_w8a8(False)

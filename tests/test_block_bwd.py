@@ -251,3 +251,117 @@ def test_flax_layer_integration_tanh_residual():
             np.asarray(g, np.float32), rtol=5e-4, atol=5e-4,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+# ---------------------------------------------------------------------------
+# Pallas RECOMPUTE forward (round 5): the fwd rule routed through a single
+# kernel producing y + all residuals (set_block_recompute_fwd).
+#
+# Structural note (documented by test_recompute_fwd_primal_is_fwd_rule):
+# under jax.grad the custom_vjp primal phase is the DCE'd FWD RULE, not the
+# primal function — so the kernel runs in BOTH the primal and the remat
+# recompute phase (an opaque pallas_call cannot be partially DCE'd the way
+# the XLA residual ops are).  The hardware A/B therefore weighs the
+# primal's extra residual writes against the recompute's fusion wins
+# (tools/bench_train.py BENCH_FUSED_BLOCK_FWD).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def _recompute_fwd_flag():
+    from vitxtgqa_tpu.ops.pallas_block_bwd import set_block_recompute_fwd
+
+    set_block_recompute_fwd(True)
+    yield
+    set_block_recompute_fwd(False)
+
+
+@pytest.mark.parametrize("rows,rate", [(256, 0.0), (300, 0.1)])
+def test_recompute_fwd_grad_parity_f32(rows, rate, _recompute_fwd_flag):
+    key = jax.random.key(0)
+    args = _args(key, rows, jnp.float32)
+    masks = _masks(jax.random.key(7), rows, rate) if rate > 0 else None
+    got, want = _grad_pair(args, masks, rate, jnp.float32)
+    for n, g, w in zip(NAMES, got, want):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(w, np.float32),
+            rtol=2e-4, atol=2e-4, err_msg=n,
+        )
+
+
+def test_recompute_fwd_grad_parity_bf16(_recompute_fwd_flag):
+    rows, rate = 512, 0.1
+    args = _args(jax.random.key(2), rows, jnp.bfloat16)
+    masks = _masks(jax.random.key(9), rows, rate)
+    got, want = _grad_pair(args, masks, rate, jnp.bfloat16)
+    for n, g, w in zip(NAMES, got, want):
+        gf = np.asarray(g, np.float32)
+        wf = np.asarray(w, np.float32)
+        scale = max(np.abs(wf).max(), 1e-3)
+        np.testing.assert_allclose(gf / scale, wf / scale, atol=3e-2,
+                                   err_msg=n)
+
+
+def test_recompute_fwd_value_parity(_recompute_fwd_flag):
+    """The kernel y (what a vjp trace consumes) matches the XLA forward."""
+    args = _args(jax.random.key(1), 256, jnp.float32)
+
+    def f(*a):
+        return block_train(*a, rate=0.0, interpret=True)
+
+    y, _ = jax.vjp(f, *args)
+    want = block_train_reference(*args, rate=0.0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), rtol=2e-6,
+                               atol=2e-6)
+
+
+def test_recompute_fwd_under_remat(_recompute_fwd_flag):
+    """grad through jax.checkpoint(nothing_saveable) with the recompute
+    kernel active matches the plain XLA oracle."""
+    args = _args(jax.random.key(3), 256, jnp.float32)
+
+    def loss_k(*a):
+        f = lambda *aa: jnp.sum(
+            jnp.sin(block_train(*aa, rate=0.0, interpret=True))
+        )
+        return jax.checkpoint(
+            f, policy=jax.checkpoint_policies.nothing_saveable
+        )(*a)
+
+    def loss_r(*a):
+        return jnp.sum(jnp.sin(block_train_reference(*a, rate=0.0)))
+
+    gk = jax.grad(loss_k, argnums=tuple(range(12)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(12)))(*args)
+    for n, g, w in zip(NAMES, gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=3e-4, atol=3e-4, err_msg=n
+        )
+
+
+def test_recompute_fwd_primal_is_fwd_rule(_recompute_fwd_flag):
+    """Documents the partial-eval mechanics the design rests on: under
+    grad+remat the primal section contains the fwd rule's kernel call
+    (custom_vjp primal functions are discarded when differentiated), and
+    the remat eqn re-runs it for the residuals."""
+    args = _args(jax.random.key(3), 256, jnp.float32)
+
+    def loss_k(*a):
+        f = lambda *aa: jnp.sum(
+            jnp.sin(block_train(*aa, rate=0.0, interpret=True))
+        )
+        return jax.checkpoint(
+            f, policy=jax.checkpoint_policies.nothing_saveable
+        )(*a)
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss_k, argnums=(0,)))(*args)
+    top_prims = [e.primitive.name for e in jaxpr.jaxpr.eqns]
+    assert "remat2" in top_prims
+    # the primal phase calls _fwd_impl (a jit eqn) with only y consumed
+    fwd_eqns = [
+        e for e in jaxpr.jaxpr.eqns
+        if e.primitive.name == "jit" and e.params.get("name") == "_fwd_impl"
+    ]
+    assert fwd_eqns, top_prims
+    assert len(fwd_eqns[0].outvars) == 1  # y only; residuals DCE'd at
+    # the jit-output level (the pallas_call inside still writes them)

@@ -29,8 +29,10 @@ def _reset_flag():
     set_compact_train(False)
 
 
-def _train_outputs(compact: bool, grad: bool = False):
+def _train_outputs(compact: bool, grad: bool = False,
+                   capture_grounding: bool = False):
     from vitxtgqa_tpu.models.common import set_compact_train
+    from vitxtgqa_tpu.models.grounding import GroundingModule
     from vitxtgqa_tpu.models.t2s import T2S
 
     cfg = tiny_config()
@@ -49,7 +51,24 @@ def _train_outputs(compact: bool, grad: bool = False):
     apply_rngs = {"dropout": jax.random.key(5), "gumbel": jax.random.key(9)}
     set_compact_train(compact)
     try:
-        out = model.apply(variables, batch, train=True, rngs=apply_rngs)
+        if capture_grounding:
+            # the grounding gather lists (pos/neg_ocr_idx) identify the
+            # kept copy-score slots but don't ride in the train outputs;
+            # capture the module's output dict (rng consumption is
+            # unchanged, so the kept set matches the score run's)
+            out, aux = model.apply(
+                variables, batch, train=True, rngs=apply_rngs,
+                capture_intermediates=lambda mdl, _:
+                    isinstance(mdl, GroundingModule),
+                mutable=["intermediates"],
+            )
+            g = jax.tree_util.tree_leaves(
+                aux["intermediates"],
+                is_leaf=lambda x: isinstance(x, dict) and "pos_ocr_idx" in x,
+            )[0]
+            out = dict(out, _grounding=g)
+        else:
+            out = model.apply(variables, batch, train=True, rngs=apply_rngs)
         grads = None
         if grad:
             def loss(p):
@@ -66,14 +85,16 @@ def _train_outputs(compact: bool, grad: bool = False):
 
 
 def test_compact_train_matches_full_on_kept_rows():
-    (full, _), (comp, _) = _train_outputs(False), _train_outputs(True)
+    full, _ = _train_outputs(False)
+    comp, _ = _train_outputs(True, capture_grounding=True)
     # ref variant is identical (it never compacts)
     np.testing.assert_allclose(
         np.asarray(comp["ref_scores"], np.float32),
         np.asarray(full["ref_scores"], np.float32), atol=2e-4,
     )
     ref = np.asarray(full["ref_scores"], np.float32)
-    for key in ("pos_scores", "neg_scores"):
+    g = comp["_grounding"]
+    for key, pfx in (("pos_scores", "pos"), ("neg_scores", "neg")):
         fs = np.asarray(full[key], np.float32)
         cs = np.asarray(comp[key], np.float32)
         assert fs.shape == cs.shape
@@ -81,18 +102,28 @@ def test_compact_train_matches_full_on_kept_rows():
         # under either formulation)
         np.testing.assert_allclose(cs[..., :NV], fs[..., :NV], atol=2e-4,
                                    err_msg=key)
-        # kept copy slots: exact; non-kept slots: the ref fill
-        kept = ~np.isclose(cs[..., NV:], ref[..., NV:], atol=1e-7) | \
-            np.isclose(fs[..., NV:], ref[..., NV:], atol=1e-7)
-        # identify kept set robustly from the variant masks instead:
-        # kept slots must match the full variant's scores
-        diff_vs_full = np.abs(cs[..., NV:] - fs[..., NV:])
-        diff_vs_ref = np.abs(cs[..., NV:] - ref[..., NV:])
-        # every slot is either (exact vs full) or (exact vs ref fill)
-        assert (np.minimum(diff_vs_full, diff_vs_ref) < 2e-4).all(), key
-        # and a non-trivial number of slots match the full variant (kept)
-        assert (diff_vs_full < 2e-4).sum() > 0, key
-        # grounding outputs untouched
+        # the kept copy-slot set comes from the grounding gather lists
+        # (as tools/compact_agreement.py derives it), NOT from which
+        # scores happen to agree — a broken scatter that returned ref
+        # fills on kept slots must fail here
+        ci = np.asarray(g[f"{pfx}_ocr_idx"], np.int64)  # [B, K], -1 pads
+        b_n = fs.shape[0]
+        kept = np.zeros((b_n, N), dtype=bool)
+        for b in range(b_n):
+            kept[b, ci[b][ci[b] >= 0]] = True
+        assert kept.any() and not kept.all(), key
+        kept3 = np.broadcast_to(kept[:, None, :], fs[..., NV:].shape)
+        # kept slots: exact vs the full path
+        np.testing.assert_allclose(
+            cs[..., NV:][kept3], fs[..., NV:][kept3], atol=2e-4,
+            err_msg=f"{key} kept slots",
+        )
+        # non-kept slots: exactly the ref variant's fill
+        np.testing.assert_allclose(
+            cs[..., NV:][~kept3], ref[..., NV:][~kept3], atol=2e-4,
+            err_msg=f"{key} non-kept slots",
+        )
+    # grounding outputs untouched
     np.testing.assert_array_equal(
         np.asarray(full["ground_frame"]), np.asarray(comp["ground_frame"])
     )

@@ -145,3 +145,79 @@ def test_sp_attention_flash_kernel_integration(monkeypatch):
     want = np.asarray(mha_reference(q, k, v, prefix_lm_bias(enc_mask, dec)))
     got = np.asarray(sp_attention(q, k, v, spec, mesh))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_sp_inside_pp_composes():
+    """SP routed through set_sequence_parallel composes with the GPipe
+    pipeline's shard_map on one ("pp", "sp") mesh: the inner sp shard_map
+    picks up the CONTEXT abstract mesh (pp already Manual) instead of the
+    concrete mesh — round-4 verdict stretch item; equivalence vs the plain
+    sequential stack."""
+    from vitxtgqa_tpu.models.common import TransformerConfig, TransformerEncoder
+    from vitxtgqa_tpu.ops.attention import set_sequence_parallel
+    from vitxtgqa_tpu.ops.masks import joint_mask_spec
+    from vitxtgqa_tpu.parallel.pipeline import pipeline_encoder_apply
+
+    if jax.device_count() < 4:
+        pytest.skip("not enough devices")
+    hidden = 64
+    tcfg = TransformerConfig(hidden_size=hidden, num_hidden_layers=4,
+                             num_attention_heads=4,
+                             intermediate_size=2 * hidden)
+    enc = TransformerEncoder(tcfg)
+    x = jax.random.normal(jax.random.key(6), (4, 32, hidden))
+    spec = joint_mask_spec(jnp.ones((4, 24), jnp.float32), 8)
+    enc_params = enc.init(jax.random.key(7), x, spec)["params"]
+    want = np.asarray(enc.apply({"params": enc_params}, x, spec))
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("pp", "sp"))
+    set_sequence_parallel(mesh, "sp")
+    try:
+        got = np.asarray(pipeline_encoder_apply(
+            tcfg, [enc_params[f"layer_{i}"] for i in range(4)], x,
+            spec.to_bias(), mesh, num_microbatches=2,
+        ))
+    finally:
+        set_sequence_parallel(None)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_dp_sp_pp_composes():
+    """All three non-tp axes on one ("data", "pp", "sp") mesh: the stack
+    runs under jit with the batch sharded over data, layers pipelined over
+    pp, attention sequence-parallel over sp."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vitxtgqa_tpu.models.common import TransformerConfig, TransformerEncoder
+    from vitxtgqa_tpu.ops.attention import set_sequence_parallel
+    from vitxtgqa_tpu.ops.masks import joint_mask_spec
+    from vitxtgqa_tpu.parallel.pipeline import pipeline_encoder_apply
+
+    if jax.device_count() < 8:
+        pytest.skip("not enough devices")
+    hidden = 64
+    tcfg = TransformerConfig(hidden_size=hidden, num_hidden_layers=2,
+                             num_attention_heads=4,
+                             intermediate_size=2 * hidden)
+    enc = TransformerEncoder(tcfg)
+    x = jax.random.normal(jax.random.key(8), (4, 32, hidden))
+    spec = joint_mask_spec(jnp.ones((4, 24), jnp.float32), 8)
+    enc_params = enc.init(jax.random.key(9), x, spec)["params"]
+    want = np.asarray(enc.apply({"params": enc_params}, x, spec))
+
+    mesh = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 2, 2), ("data", "pp", "sp")
+    )
+    layers = [enc_params[f"layer_{i}"] for i in range(2)]
+    bias = spec.to_bias()
+    set_sequence_parallel(mesh, "sp")
+    try:
+        fn = jax.jit(lambda xs: pipeline_encoder_apply(
+            tcfg, layers, xs, bias, mesh, num_microbatches=2,
+        ))
+        got = np.asarray(
+            fn(jax.device_put(x, NamedSharding(mesh, P("data"))))
+        )
+    finally:
+        set_sequence_parallel(None)
+    np.testing.assert_allclose(got, want, atol=1e-4)

@@ -7,8 +7,16 @@ occupancy, where the 12-step decode scan's launch overhead and the unfused
 small-batch matmuls dominate.  This tool measures the end-to-end jit call
 (H2D of nothing — the batch is resident — through D2H of the digest) at
 each batch size, and calibrates the tunnel's D2H fence floor with a
-trivial-digest jit so the device-time estimate can be read off
-(`latency_ms - fence_floor_ms`).
+trivial-digest jit for context.
+
+Device time per step is estimated from a CHAINED block fenced once
+(dispatch K calls, fence the last — on one device steps execute in
+dispatch order, the bench.py headline methodology), NOT by subtracting
+the fence floor from per-call p50: at small batches the ~33 ms floor
+exceeds the step itself and the subtraction goes negative (round-4
+verdict weak #2 — CLAUDE.md: per-call fencing measures the fence).
+`chained_ms_per_step` is the decision-grade number; per-call p50/p90
+remain as the tunnel-inclusive request-latency view.
 
 Each batch size is measured under TWO arms in the same process (the only
 trustworthy A/B on the tunnel backend):
@@ -66,6 +74,7 @@ def main():
 
     from vitxtgqa_tpu.core.config import build_config
     from vitxtgqa_tpu.models.common import (
+        fused_decode_max_batch,
         set_compact_serving,
         set_fused_decode,
         set_fused_decode_max_batch,
@@ -107,6 +116,11 @@ def main():
         else [("per_layer", False)]
     )
 
+    # capture the cap in effect BEFORE the arm overrides so the end-of-run
+    # restore tracks the production value instead of hardcoding the
+    # current default (round-4 advisor finding)
+    prev_cap = fused_decode_max_batch()
+
     results = {}
     for bs in BATCHES:
         batch = synthetic_batch(batch=bs, num_final_outputs=num_final, seed=0)
@@ -146,10 +160,22 @@ def main():
                 t0 = time.perf_counter()
                 float(step(params, dev_batch, jnp.int32(100 + i)))
                 times.append((time.perf_counter() - t0) * 1e3)
+            # chained block fenced once: per-step device time without the
+            # fence floor in every sample (never negative, unlike the old
+            # p50 - floor estimate)
+            chain_n = max(REPS, 10)
+            t0 = time.perf_counter()
+            last = None
+            for i in range(chain_n):
+                last = step(params, dev_batch, jnp.int32(500 + i))
+            _ = float(last)
+            chained_ms = (time.perf_counter() - t0) * 1e3 / chain_n
             per_arm[arm] = {
                 "p50_ms": round(_pct(times, 0.5), 2),
                 "p90_ms": round(_pct(times, 0.9), 2),
-                "device_ms_est": round(_pct(times, 0.5) - fence_floor, 2),
+                "chained_ms_per_step": round(chained_ms, 2),
+                "chained_videos_per_s": round(bs * 1e3 / chained_ms, 1),
+                "chain_n": chain_n,
                 "first_call_s": round(compile_s, 2),
                 "digest": digest,
                 "flags": {
@@ -163,9 +189,9 @@ def main():
                   file=sys.stderr, flush=True)
         results[str(bs)] = per_arm
 
-    # restore production defaults for anything running after us in-process
+    # restore the pre-run values for anything running after us in-process
     set_fused_decode(True)
-    set_fused_decode_max_batch(2)
+    set_fused_decode_max_batch(prev_cap)
 
     print(json.dumps({
         "metric": "t2s_serving_latency",
@@ -174,7 +200,7 @@ def main():
         "pallas": USE_PALLAS,
         "kv_int8": KV_INT8,
         "compact": COMPACT,
-        "production_fused_decode_max_batch": 2,
+        "production_fused_decode_max_batch": prev_cap,
         "batches": results,
     }))
 

@@ -32,6 +32,10 @@ FUSED_GRADS_MODES = os.environ.get("BENCH_FUSED_GRADS", "0").split(",")
 # BENCH_FUSED_BLOCK_BWD: "1"/"0" or a comma list — single-kernel block
 # backward (models/common.set_fused_block_bwd, ops/pallas_block_bwd.py)
 BLOCK_BWD_MODES = os.environ.get("BENCH_FUSED_BLOCK_BWD", "0").split(",")
+# BENCH_FUSED_BLOCK_FWD: "1"/"0" or a comma list — Pallas recompute
+# forward for the block fwd rule (ops/pallas_block_bwd.set_block_
+# recompute_fwd; only meaningful with fused_block_bwd on)
+BLOCK_FWD_MODES = os.environ.get("BENCH_FUSED_BLOCK_FWD", "0").split(",")
 # BENCH_COMPACT_TRAIN: "1"/"0" or a comma list — experimental compact
 # training (models/common.set_compact_train; pos/neg variants on the
 # grounding-kept rows, documented estimator deviation)
@@ -117,24 +121,30 @@ def main():
     # modes run sequentially in ONE process (holding two compiled programs
     # plus two param/opt states resident OOMs the chip); same-process
     # sequential with per-mode warm-up is the next-most-trustworthy A/B
+    from vitxtgqa_tpu.ops.pallas_block_bwd import set_block_recompute_fwd
+
     mode_list = [
-        (m, fg, bb, ct)
+        (m, fg, bb, bf, ct)
         for m in REMAT_MODES
         for fg in FUSED_GRADS_MODES
         for bb in BLOCK_BWD_MODES
+        for bf in BLOCK_FWD_MODES
         for ct in COMPACT_TRAIN_MODES
     ]
-    for mode, fg, bb, ct in mode_list:
+    for mode, fg, bb, bf, ct in mode_list:
         set_remat("dots" if mode == "dots" else mode)
         set_fused_grads(fg == "1")
         set_fused_block_bwd(bb == "1")
+        set_block_recompute_fwd(bf == "1")
         set_compact_train(ct == "1")
         step = make_step()
         params = params0
         opt_state = tx.init(params)
         rng = jax.random.key(7)
         record = {"remat": mode, "fused_grads": fg == "1",
-                  "fused_block_bwd": bb == "1", "compact_train": ct == "1"}
+                  "fused_block_bwd": bb == "1",
+                  "fused_block_fwd": bf == "1",
+                  "compact_train": ct == "1"}
         try:
             t_c0 = time.perf_counter()
             params, opt_state, total = step(params, opt_state, dev_batch, rng)

@@ -400,7 +400,8 @@ _GLOBAL_FUSED_DECODE = True
 # kernel forms — tools/ab_fused_decode.py, numbers in BASELINE.md).
 # Batch 4 was inside the default cap on the round-3 guess; the round-4
 # per-batch measurement moved the cap to 2.
-_GLOBAL_FUSED_DECODE_MAX_BATCH = 2
+DEFAULT_FUSED_DECODE_MAX_BATCH = 2
+_GLOBAL_FUSED_DECODE_MAX_BATCH = DEFAULT_FUSED_DECODE_MAX_BATCH
 
 
 def set_fused_decode_max_batch(n: int) -> None:

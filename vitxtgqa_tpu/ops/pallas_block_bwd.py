@@ -51,6 +51,7 @@ tools/bench_train.py (BENCH_FUSED_BLOCK_BWD).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -64,8 +65,14 @@ _LANE = 128
 # the backward holds ~4 [R, M] fp32 intermediates (M=3072 -> 3.1MB each at
 # 256 rows) next to the resident fp32 dW1/dW2 accumulators (9.4MB each);
 # 256 vs 512 measured within noise on the v5e (block-bwd probe), 256 keeps
-# VMEM headroom.  VITXTGQA_BLOCK_BWD_R overrides for probing.
-_BLOCK_R = int(__import__("os").environ.get("VITXTGQA_BLOCK_BWD_R", "256"))
+# VMEM headroom.  VITXTGQA_BLOCK_BWD_R overrides for probing — read at
+# CALL time (it becomes a static jit arg), so probes that set the env
+# after import still take effect.
+_DEFAULT_BLOCK_R = 256
+
+
+def _block_r() -> int:
+    return int(os.environ.get("VITXTGQA_BLOCK_BWD_R", _DEFAULT_BLOCK_R))
 
 _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
@@ -163,17 +170,201 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# --------------------------------------------------------------------------
+# Pallas forward for the RECOMPUTE phase (round-5: the round-4 HLO dig's
+# ~28 ms/step convert_reduce surface).
+#
+# Under jax.checkpoint the custom_vjp PRIMAL function runs in the forward
+# phase and the FWD RULE runs only inside the remat (recompute) eqn — a
+# make_jaxpr probe confirms the fwd rule's residual production never
+# appears in the primal section.  So routing the fwd rule through a Pallas
+# kernel leaves the primal XLA forward (and its fusions) untouched while
+# folding the recompute's LN/residual elementwise chains — profiled at
+# ~3-4x their traffic ideal across 18 layer-calls/step — into the matmul
+# passes.  The kernel reproduces the XLA rounding chain exactly where it
+# matters (bf16 dot rounding before bias adds; LN stats in fp32; gelu from
+# the bf16-rounded pre1 via the A-S erf, max abs err 1.5e-7).
+#
+# Opt-in: set_block_recompute_fwd (config tpu.fused_block_fwd); measured
+# A/B in tools/bench_train.py (BENCH_FUSED_BLOCK_FWD).
+# --------------------------------------------------------------------------
+
+_RECOMPUTE_FWD = False
+
+
+def set_block_recompute_fwd(enabled: bool) -> None:
+    """Pallas forward for the remat recompute phase (trace-time flag)."""
+    global _RECOMPUTE_FWD
+    _RECOMPUTE_FWD = bool(enabled)
+
+
+def block_recompute_fwd_enabled() -> bool:
+    return _RECOMPUTE_FWD
+
+
+def _fwd_kernel(x_q_ref, ctx_ref, wo_ref, bo_ref, s1_ref, g1_ref, w1_ref,
+                b1_ref, w2_ref, b2_ref, s2_ref, g2_ref, *rest, rate, eps,
+                has_dropout):
+    if has_dropout:
+        (ma_ref, mf_ref, y_ref, x1h_ref, pre1_ref, h_ref, x2h_ref) = rest
+    else:
+        (y_ref, x1h_ref, pre1_ref, h_ref, x2h_ref) = rest
+    dt = y_ref.dtype
+    keep = 1.0 - rate
+
+    # attn_out projection: f32 MXU accumulate, round to dt, THEN bias —
+    # the exact jnp.dot(ctx, wo) + bo rounding order of the XLA forward
+    attn = jax.lax.dot_general(
+        ctx_ref[...], wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt) + bo_ref[...].astype(dt)
+    if has_dropout:
+        attn = jnp.where(
+            ma_ref[...] != 0, attn / keep, jnp.zeros_like(attn)
+        )
+    x1h = x_q_ref[...] + attn
+    x1h_ref[...] = x1h
+
+    xhat1, _ = _ln_stats(x1h.astype(jnp.float32), eps)
+    x = (
+        xhat1 * s1_ref[...].astype(jnp.float32)
+        + g1_ref[...].astype(jnp.float32)
+    ).astype(dt)
+
+    pre1 = jax.lax.dot_general(
+        x, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt) + b1_ref[...].astype(dt)
+    pre1_ref[...] = pre1
+    # gelu from the dt-rounded pre1 (what the XLA forward feeds erf)
+    h = (_gelu(pre1.astype(jnp.float32))).astype(dt)
+    h_ref[...] = h
+
+    ffn = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dt) + b2_ref[...].astype(dt)
+    if has_dropout:
+        ffn = jnp.where(
+            mf_ref[...] != 0, ffn / keep, jnp.zeros_like(ffn)
+        )
+    x2h = x + ffn
+    x2h_ref[...] = x2h
+
+    xhat2, _ = _ln_stats(x2h.astype(jnp.float32), eps)
+    y_ref[...] = (
+        xhat2 * s2_ref[...].astype(jnp.float32)
+        + g2_ref[...].astype(jnp.float32)
+    ).astype(dt)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("rate", "eps", "interpret", "has_dropout")
+    jax.jit,
+    static_argnames=("rate", "eps", "interpret", "has_dropout", "block_r"),
+)
+def _fwd_impl(x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2, g2, mask_a,
+              mask_f, rate: float, eps: float, interpret: bool,
+              has_dropout: bool, block_r: int):
+    dt = x_q.dtype
+    d = x_q.shape[-1]
+    m = w1.shape[-1]
+    r = x_q.shape[0]
+    rp = _round_up(r, block_r)
+    pad = lambda a: jnp.pad(a, ((0, rp - r), (0, 0))) if rp != r else a
+    row = lambda w: pl.BlockSpec((block_r, w), lambda i: (i, 0))
+    full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
+    vec = lambda a: a.astype(jnp.float32)[None, :]
+    in_specs = [
+        row(d), row(d),
+        full(d, d), full(1, d), full(1, d), full(1, d),
+        full(d, m), full(1, m), full(m, d), full(1, d),
+        full(1, d), full(1, d),
+    ]
+    inputs = [pad(x_q), pad(ctx.astype(dt)), wo.astype(dt),
+              bo.astype(jnp.float32)[None, :], vec(s1), vec(g1),
+              w1.astype(dt), b1.astype(jnp.float32)[None, :],
+              w2.astype(dt), b2.astype(jnp.float32)[None, :],
+              vec(s2), vec(g2)]
+    if has_dropout:
+        in_specs += [row(d), row(d)]
+        inputs += [pad(mask_a), pad(mask_f)]
+    out_specs = [row(d), row(d), row(m), row(m), row(d)]
+    out_shape = [
+        jax.ShapeDtypeStruct((rp, d), dt),   # y
+        jax.ShapeDtypeStruct((rp, d), dt),   # x1h
+        jax.ShapeDtypeStruct((rp, m), dt),   # pre1
+        jax.ShapeDtypeStruct((rp, m), dt),   # h
+        jax.ShapeDtypeStruct((rp, d), dt),   # x2h
+    ]
+    outs = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, rate=rate, eps=eps, has_dropout=has_dropout
+        ),
+        grid=(rp // block_r,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * (d * d + 2 * d * m),
+            bytes_accessed=(
+                rp * (4 * d + 2 * m) * 2 + (d * d + 2 * d * m) * 2
+            ),
+            transcendentals=rp * m,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    y, x1h, pre1, h, x2h = outs
+    return y[:r], x1h[:r], pre1[:r], h[:r], x2h[:r]
+
+
+def _forward_residuals_dispatch(x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2,
+                                s2, g2, mask_a, mask_f, rate, eps,
+                                interpret):
+    """Fwd-rule body: Pallas recompute forward when enabled, XLA otherwise.
+
+    Only ever traced inside the custom_vjp fwd rule — i.e. in the remat
+    RECOMPUTE phase (or the primal of an un-remat'd grad), never in the
+    plain primal forward."""
+    d = x_q.shape[-1]
+    m = w1.shape[-1]
+    dt = x_q.dtype
+    if _RECOMPUTE_FWD and block_bwd_kernel_ok(d, m):
+        shape = x_q.shape
+        flat = lambda a, w: a.reshape(-1, w)
+        y, x1h, pre1, h, x2h = _fwd_impl(
+            flat(x_q, d), flat(ctx, d), wo, bo, s1, g1, w1, b1, w2, b2,
+            s2, g2,
+            flat(mask_a, d) if mask_a is not None else None,
+            flat(mask_f, d) if mask_f is not None else None,
+            rate=rate, eps=eps, interpret=interpret,
+            has_dropout=rate > 0.0, block_r=_block_r(),
+        )
+        unflat = lambda a, w: a.reshape(shape[:-1] + (w,))
+        return unflat(y, d), (
+            ctx.astype(dt), unflat(x1h, d), unflat(pre1, m),
+            unflat(h, m), unflat(x2h, d),
+        )
+    return _forward_with_residuals(
+        x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2, g2, mask_a, mask_f,
+        rate, eps,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rate", "eps", "interpret", "has_dropout", "block_r"),
 )
 def _bwd_impl(g, ctx, x1h, pre1, h, x2h, wo, w1, w2, s1, g1, s2, mask_a,
               mask_f, rate: float, eps: float, interpret: bool,
-              has_dropout: bool):
+              has_dropout: bool, block_r: int):
     dt = ctx.dtype
     d = ctx.shape[-1]
     m = pre1.shape[-1]
     r = ctx.shape[0]
-    rp = _round_up(r, _BLOCK_R)
+    rp = _round_up(r, block_r)
     pad = lambda a: jnp.pad(a, ((0, rp - r), (0, 0))) if rp != r else a
     g2d = pad(g)
     ctx2 = pad(ctx)
@@ -181,7 +372,7 @@ def _bwd_impl(g, ctx, x1h, pre1, h, x2h, wo, w1, w2, s1, g1, s2, mask_a,
     pre12 = pad(pre1)
     h2 = pad(h)
     x2h2 = pad(x2h)
-    row = lambda w: pl.BlockSpec((_BLOCK_R, w), lambda i: (i, 0))
+    row = lambda w: pl.BlockSpec((block_r, w), lambda i: (i, 0))
     full = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
     in_specs = [
         row(d), row(d), row(d), row(m), row(m), row(d),
@@ -222,7 +413,7 @@ def _bwd_impl(g, ctx, x1h, pre1, h, x2h, wo, w1, w2, s1, g1, s2, mask_a,
         functools.partial(
             _block_bwd_kernel, rate=rate, eps=eps, has_dropout=has_dropout
         ),
-        grid=(rp // _BLOCK_R,),
+        grid=(rp // block_r,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -375,6 +566,7 @@ def _bwd_common(rate, eps, interpret, res, g, mask_a, mask_f):
         _flatten(mask_a, d) if has_dropout else None,
         _flatten(mask_f, d) if has_dropout else None,
         rate=rate, eps=eps, interpret=interpret, has_dropout=has_dropout,
+        block_r=_block_r(),
     )
     (dxq, dctx, dwo, dbo, ds1, dg1, dw1, db1, dw2, db2, ds2, dg2) = outs
     dxq = dxq.reshape(g.shape).astype(g.dtype)
@@ -391,9 +583,9 @@ def _block_do(rate, eps, interpret, x_q, ctx, wo, bo, s1, g1, w1, b1, w2,
 
 def _block_do_fwd(rate, eps, interpret, x_q, ctx, wo, bo, s1, g1, w1, b1,
                   w2, b2, s2, g2, mask_a, mask_f):
-    y, (ctxb, x1h, pre1, h, x2h) = _forward_with_residuals(
+    y, (ctxb, x1h, pre1, h, x2h) = _forward_residuals_dispatch(
         x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2, g2, mask_a, mask_f,
-        rate, eps,
+        rate, eps, interpret,
     )
     wdt = (wo, w1, w2, s1, g1, s2)
     return y, ((wdt, ctxb, x1h, pre1, h, x2h), mask_a, mask_f)
@@ -418,9 +610,9 @@ def _block_nodo(eps, interpret, x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2,
 
 def _block_nodo_fwd(eps, interpret, x_q, ctx, wo, bo, s1, g1, w1, b1, w2,
                     b2, s2, g2):
-    y, (ctxb, x1h, pre1, h, x2h) = _forward_with_residuals(
+    y, (ctxb, x1h, pre1, h, x2h) = _forward_residuals_dispatch(
         x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2, g2, None, None,
-        0.0, eps,
+        0.0, eps, interpret,
     )
     wdt = (wo, w1, w2, s1, g1, s2)
     return y, (wdt, ctxb, x1h, pre1, h, x2h)

@@ -85,6 +85,15 @@ def sp_attention(
     assert l % n_shards == 0, (l, n_shards)
     l_local = l // n_shards
 
+    # composition with other manual axes (e.g. sp inside the gpipe pp
+    # shard_map): inside a manual region shard_map requires the CONTEXT
+    # abstract mesh, not the concrete one — jax rejects a concrete mesh
+    # whose axis_types disagree with the surrounding Manual axes
+    # (tests/test_sequence_parallel.py::test_sp_inside_pp_composes)
+    ctx = jax.sharding.get_abstract_mesh()
+    if not ctx.empty and axis in ctx.axis_names:
+        mesh = ctx
+
     spec = P(None, None, axis, None)
 
     if isinstance(bias, MaskSpec):

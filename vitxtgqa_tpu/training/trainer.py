@@ -284,12 +284,30 @@ class BaseTrainer:
                 "fused-block backward kernel enabled (single-kernel "
                 "block backward per layer, see set_fused_block_bwd)"
             )
-        if tpu_cfg is not None and hasattr(tpu_cfg, "fused_decode_max_batch"):
-            from vitxtgqa_tpu.models.common import set_fused_decode_max_batch
+        from vitxtgqa_tpu.ops.pallas_block_bwd import set_block_recompute_fwd
 
-            set_fused_decode_max_batch(
-                int(tpu_cfg.fused_decode_max_batch)
+        set_block_recompute_fwd(
+            bool(tpu_cfg is not None
+                 and getattr(tpu_cfg, "fused_block_fwd", False))
+        )
+        if tpu_cfg is not None and getattr(tpu_cfg, "fused_block_fwd", False):
+            self.logger.write(
+                "Pallas block recompute-forward enabled "
+                "(see set_block_recompute_fwd)"
             )
+        # unconditional like the flags above: a prior in-process tool that
+        # raises the cap (e.g. tools/ab_fused_decode.py) must not poison
+        # this trainer's decode-path choice
+        from vitxtgqa_tpu.models.common import (
+            DEFAULT_FUSED_DECODE_MAX_BATCH,
+            set_fused_decode_max_batch,
+        )
+
+        set_fused_decode_max_batch(
+            int(getattr(tpu_cfg, "fused_decode_max_batch",
+                        DEFAULT_FUSED_DECODE_MAX_BATCH))
+            if tpu_cfg is not None else DEFAULT_FUSED_DECODE_MAX_BATCH
+        )
         from vitxtgqa_tpu.models.common import (
             set_compact_serving,
             set_compact_train,
