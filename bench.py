@@ -259,9 +259,19 @@ def _run_train_bench(batch_size: int, use_pallas: bool):
     # single-kernel block backward (+0.5-0.9% both A/B orders on v5e,
     # ops/pallas_block_bwd.py); BENCH_FUSED_BLOCK_BWD=0 for the plain
     # XLA autodiff arm
-    set_fused_block_bwd(
+    fused_bwd = (
         os.environ.get("BENCH_FUSED_BLOCK_BWD", "1") == "1" and use_pallas
     )
+    set_fused_block_bwd(fused_bwd)
+    # Pallas block recompute-forward for the custom-vjp fwd rule
+    # (+4.8/+6.4% in the two round-5 A/B orders at batch 48; only
+    # meaningful with the fused backward on)
+    from vitxtgqa_tpu.ops.pallas_block_bwd import set_block_recompute_fwd
+
+    fused_fwd = (
+        os.environ.get("BENCH_FUSED_BLOCK_FWD", "1") == "1" and fused_bwd
+    )
+    set_block_recompute_fwd(fused_fwd)
 
     cfg = build_config(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -342,7 +352,8 @@ def _run_train_bench(batch_size: int, use_pallas: bool):
         "chained_block_s": round(dt, 4),
         "remat": "attn",
         "variant_scan": True,
-        "fused_block_bwd": os.environ.get("BENCH_FUSED_BLOCK_BWD", "1") == "1" and use_pallas,
+        "fused_block_bwd": fused_bwd,
+        "fused_block_fwd": fused_fwd,
     }
 
 
