@@ -236,3 +236,22 @@ def test_compact_full_eval_matches_full_on_kept_rows():
         )
         # neg keeps at most ocr_topk slots per frame (masked rows gather 0)
         assert (kept_n[:, 0, :].sum(-1) <= F * 2).all()
+
+
+def test_postscan_epilogue_matches_inscan():
+    """set_compact_postscan(True) (the measured-negative A/B arm kept
+    in-tree) must produce bit-identical serving outputs to the default
+    in-scan scatter — the argmax-in-compact-space token mapping and the
+    one post-scan scatter are exact restructurings."""
+    from vitxtgqa_tpu.models.base import set_compact_postscan
+
+    inscan = _serving_outputs(compact=True)
+    set_compact_postscan(True)
+    try:
+        postscan = _serving_outputs(compact=True)
+    finally:
+        set_compact_postscan(False)
+    for k in ("pos_scores", "ground_frame"):
+        np.testing.assert_array_equal(
+            np.asarray(inscan[k]), np.asarray(postscan[k]), err_msg=k
+        )

@@ -25,6 +25,30 @@ from vitxtgqa_tpu.ops.masks import (
 )
 
 
+_COMPACT_POSTSCAN = False
+
+
+def set_compact_postscan(enabled: bool) -> None:
+    """Trace-time A/B knob for the compact decode epilogue.  True keeps
+    copy scores compact in-scan (argmax maps through the gather list) and
+    scatters to the full copy width once post-scan; False (default,
+    production) is the per-step in-scan scatter+concat form.
+
+    MEASURED NEGATIVE on the v5e (tools/ab_compact_epilogue.py, compact
+    serving batch 576, both orders interleaved same-process): post-scan
+    1588.9/1589.0 vs in-scan 1605.4/1604.6 videos/s (-1.0%), token
+    agreement 1.000000 — XLA already overlaps the 12 small per-step
+    scatters, and the post-scan form's per-step argmax token mapping plus
+    the one big [B, S, full_n] scatter cost slightly more.  Kept in-tree
+    with the numbers, like the other measured negatives (ROADMAP.md)."""
+    global _COMPACT_POSTSCAN
+    _COMPACT_POSTSCAN = bool(enabled)
+
+
+def compact_postscan_enabled() -> bool:
+    return _COMPACT_POSTSCAN
+
+
 def l2_normalize(x, axis=-1, eps=1e-12):
     """F.normalize equivalent: x / max(||x||, eps)."""
     norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
@@ -258,19 +282,51 @@ class JointQAModel(nn.Module):
         ptr_keys = self.ocr_ptr_net.keys(ocr_out)
 
         def finish_step(y_t):
-            """Shared per-step epilogue: classifier + copy scores +
-            greedy argmax (optionally compact-scattered)."""
+            """Shared per-step epilogue: classifier + copy scores + greedy
+            argmax (compact-scattered in-scan by default; the post-scan
+            variant — compact argmax mapped through the gather list, one
+            scatter after the scan — is token-exact but measured -1.0% on
+            the v5e, see set_compact_postscan)."""
             fixed = self.classifier(y_t)
             dynamic = self.ocr_ptr_net.scores_from_keys(
                 y_t, ptr_keys, ocr_masks
             )
-            if dynamic_scatter is not None:
+            postscan = dynamic_scatter is not None and compact_postscan_enabled()
+            if dynamic_scatter is not None and not postscan:
+                # legacy in-scan form (A/B arm, set_compact_postscan(False))
                 idx, full_n, may_pad = dynamic_scatter
                 dynamic = self._scatter_dynamic(dynamic, idx, full_n, may_pad)
+            elif postscan and dynamic_scatter[2]:
+                idx = dynamic_scatter[0]
+                dynamic = jnp.where(
+                    (idx >= 0)[:, None, :], dynamic,
+                    jnp.asarray(-1e4, dynamic.dtype),
+                )
             scores_t = jnp.concatenate([fixed, dynamic], axis=-1)[:, 0, :]
             nxt = jnp.argmax(scores_t[lo : lo + b], axis=-1)
+            if postscan:
+                idx = dynamic_scatter[0]
+                v_fix = fixed.shape[-1]
+                j = jnp.clip(nxt - v_fix, 0, idx.shape[1] - 1)
+                mapped = jnp.take_along_axis(
+                    idx[lo : lo + b].astype(jnp.int32), j[:, None], axis=1
+                )[:, 0]
+                nxt = jnp.where(
+                    nxt < v_fix, nxt, v_fix + jnp.maximum(mapped, 0)
+                )
             nxtN = jnp.concatenate([nxt] * n_variants, axis=0)
             return nxtN, scores_t
+
+        def expand_scores(s):
+            """Post-scan compact->full copy-score scatter ([bN, S, v_fix +
+            n_compact] -> [bN, S, v_fix + full_n]); identity when serving
+            the full geometry or on the legacy in-scan arm."""
+            if dynamic_scatter is None or not compact_postscan_enabled():
+                return s
+            idx, full_n, may_pad = dynamic_scatter
+            v_fix = s.shape[-1] - idx.shape[1]
+            dyn = self._scatter_dynamic(s[..., v_fix:], idx, full_n, may_pad)
+            return jnp.concatenate([s[..., :v_fix], dyn], axis=-1)
 
         bos = jnp.full((bN,), self.bos_idx, dtype=jnp.int32)
 
@@ -374,7 +430,7 @@ class JointQAModel(nn.Module):
             (_, _, _), scores_steps = jax.lax.scan(
                 step_fused, (bos, kv8, kvsc), jnp.arange(dec_len)
             )
-            return jnp.transpose(scores_steps, (1, 0, 2))
+            return expand_scores(jnp.transpose(scores_steps, (1, 0, 2)))
 
         def step(carry, t):
             prev_tok, cache = carry
@@ -398,7 +454,9 @@ class JointQAModel(nn.Module):
         (_, _), scores_steps = jax.lax.scan(
             step, (bos, dec_cache), jnp.arange(dec_len)
         )
-        return jnp.transpose(scores_steps, (1, 0, 2))  # [bN, S, V+N]
+        return expand_scores(
+            jnp.transpose(scores_steps, (1, 0, 2))
+        )  # [bN, S, V+N]
 
     def _recompute_decode(self, txt, obj, ocr, enc_mask, ocr_masks,
                           dec_len: int, n_variants: int = 1,
