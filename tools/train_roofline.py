@@ -130,6 +130,7 @@ def bucket_profile(profile_dir: str):
     i_name, i_self, i_type = (
         idx("op name", "operation name"), idx("total self"), idx("type"),
     )
+    top_rows = []  # (self_us, name, type) for per-op attribution (--top)
     if i_name is None or i_self is None:
         raise RuntimeError(
             "framework_op_stats table lacks an op-name/self-time column "
@@ -156,17 +157,26 @@ def bucket_profile(profile_dir: str):
         else:
             mod = "misc"
         low = typ.lower()
+        nlow = name.lower()
         if "pallas" in low or "custom" in low:
             kind = "pallas"
         elif "dot" in low or "conv" in low:
             kind = "dot"
         elif "reduce" in low:
             kind = "reduce"
+        elif ("threefry" in nlow or "random" in nlow or "rng" in nlow
+              or "prng" in nlow):
+            # dropout-mask generation (threefry counter hash + bit
+            # mangling) — the round-4 "fwd misc elementwise" attribution
+            # question: is the 13.1 ms bucket mask cost?
+            kind = "rng/dropout-mask"
         else:
             kind = "elementwise/other"
         key = f"{phase} {mod} {kind}"
         buckets[key] = buckets.get(key, 0.0) + self_us
-    return buckets, total
+        top_rows.append((self_us, name, typ, key))
+    top_rows.sort(reverse=True)
+    return buckets, total, top_rows
 
 
 def main():
@@ -176,6 +186,13 @@ def main():
                     help="measured train-step device/wall ms (e.g. from "
                          "bench.py axis_train chained_block_s / iters)")
     ap.add_argument("--profile", default=None)
+    ap.add_argument("--top", type=int, default=0,
+                    help="also print the N largest individual ops "
+                         "(self-time) with their bucket — per-op "
+                         "attribution for the misc buckets")
+    ap.add_argument("--bucket", default=None,
+                    help="restrict --top to ops in buckets containing "
+                         "this substring (e.g. 'fwd misc')")
     args = ap.parse_args()
 
     from vitxtgqa_tpu.core.config import build_config
@@ -206,7 +223,7 @@ def main():
         print(f"measured step: {args.measured_step_ms:.1f} ms -> "
               f"{pct:.1f}% of MXU ideal")
     if args.profile:
-        buckets, total = bucket_profile(args.profile)
+        buckets, total, top_rows = bucket_profile(args.profile)
         result["profile_buckets_ms"] = {
             k: round(v / 1e3, 1) for k, v in buckets.items()
         }
@@ -215,6 +232,16 @@ def main():
         for k, v in buckets.items():
             print(f"  {v/1e3:7.1f} ms  {k}")
         print(f"  {total/1e3:7.1f} ms  total")
+        if args.top:
+            rows = [
+                r for r in top_rows
+                if args.bucket is None or args.bucket in r[3]
+            ][: args.top]
+            print(f"top {len(rows)} ops"
+                  + (f" in buckets ~'{args.bucket}'" if args.bucket else "")
+                  + ":")
+            for self_us, name, typ, key in rows:
+                print(f"  {self_us/1e3:7.2f} ms  [{key}] {typ}  {name[:120]}")
     print(json.dumps(result))
 
 
