@@ -38,29 +38,62 @@ USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 KV_INT8 = os.environ.get("BENCH_KV_INT8", "1") == "1"
 
 
+def _run_arm(cache, label):
+    env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=cache)
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, cwd=REPO,
+    )
+    wall = round(time.perf_counter() - t0, 1)
+    if proc.returncode != 0:
+        print(proc.stdout[-2000:] + proc.stderr[-2000:], file=sys.stderr)
+        raise SystemExit(f"{label} arm failed")
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    print(f"{label}: {line}", file=sys.stderr, flush=True)
+    return {**json.loads(line), "process_wall_s": wall}
+
+
+def _median(vals):
+    s = sorted(vals)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def orchestrate():
+    """Cold arm once (the true first-deployment compile), then
+    BENCH_WARM_RUNS (default 3) warm processes against the now-populated
+    cache with per-bucket MEDIANS — a single tunnel-contention stall (the
+    round-4 artifact recorded one 96 s outlier on a 3-5 s disk load)
+    can no longer invert the warm<cold headline the artifact certifies."""
     cache = tempfile.mkdtemp(prefix="coldstart_cache_")
-    out = {}
-    for arm in ("cold", "warm"):
-        env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=cache)
-        t0 = time.perf_counter()
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, cwd=REPO,
-        )
-        wall = round(time.perf_counter() - t0, 1)
-        if proc.returncode != 0:
-            print(proc.stdout[-2000:] + proc.stderr[-2000:], file=sys.stderr)
-            raise SystemExit(f"{arm} arm failed")
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        out[arm] = {**json.loads(line), "process_wall_s": wall}
-        print(f"{arm}: {line}", file=sys.stderr, flush=True)
+    out = {"cold": _run_arm(cache, "cold")}
+    n_warm = int(os.environ.get("BENCH_WARM_RUNS", "3"))
+    runs = [_run_arm(cache, f"warm{i}") for i in range(n_warm)]
+    warm = {
+        "init_s": round(_median([r["init_s"] for r in runs]), 2),
+        "per_bucket": {
+            str(b): {
+                k: round(_median(
+                    [r["per_bucket"][str(b)][k] for r in runs]), 4)
+                for k in ("first_call_s", "steady_call_s")
+            }
+            for b in BUCKETS
+        },
+        "runs": runs,
+    }
+    warm["total_warmup_s"] = round(
+        warm["init_s"]
+        + sum(v["first_call_s"] for v in warm["per_bucket"].values()), 2
+    )
+    out["warm"] = warm
     result = {
         "metric": "serving_coldstart",
         "unit": "s",
         "buckets": BUCKETS,
         "pallas": USE_PALLAS,
         "kv_int8": KV_INT8,
+        "warm_runs": n_warm,
         "cold": out["cold"],
         "warm": out["warm"],
     }
