@@ -36,6 +36,10 @@ BLOCK_BWD_MODES = os.environ.get("BENCH_FUSED_BLOCK_BWD", "0").split(",")
 # forward for the block fwd rule (ops/pallas_block_bwd.set_block_
 # recompute_fwd; only meaningful with fused_block_bwd on)
 BLOCK_FWD_MODES = os.environ.get("BENCH_FUSED_BLOCK_FWD", "0").split(",")
+# BENCH_KERNEL_DROPOUT: "1"/"0" or a comma list — in-kernel PRNG dropout
+# masks for the fused block (ops/pallas_block_bwd.set_kernel_dropout;
+# only meaningful with fused_block_bwd on)
+KERNEL_DROPOUT_MODES = os.environ.get("BENCH_KERNEL_DROPOUT", "0").split(",")
 # BENCH_COMPACT_TRAIN: "1"/"0" or a comma list — experimental compact
 # training (models/common.set_compact_train; pos/neg variants on the
 # grounding-kept rows, documented estimator deviation)
@@ -123,19 +127,23 @@ def main():
     # sequential with per-mode warm-up is the next-most-trustworthy A/B
     from vitxtgqa_tpu.ops.pallas_block_bwd import set_block_recompute_fwd
 
+    from vitxtgqa_tpu.ops.pallas_block_bwd import set_kernel_dropout
+
     mode_list = [
-        (m, fg, bb, bf, ct)
+        (m, fg, bb, bf, kd, ct)
         for m in REMAT_MODES
         for fg in FUSED_GRADS_MODES
         for bb in BLOCK_BWD_MODES
         for bf in BLOCK_FWD_MODES
+        for kd in KERNEL_DROPOUT_MODES
         for ct in COMPACT_TRAIN_MODES
     ]
-    for mode, fg, bb, bf, ct in mode_list:
+    for mode, fg, bb, bf, kd, ct in mode_list:
         set_remat("dots" if mode == "dots" else mode)
         set_fused_grads(fg == "1")
         set_fused_block_bwd(bb == "1")
         set_block_recompute_fwd(bf == "1")
+        set_kernel_dropout(kd == "1")
         set_compact_train(ct == "1")
         step = make_step()
         params = params0
@@ -144,6 +152,7 @@ def main():
         record = {"remat": mode, "fused_grads": fg == "1",
                   "fused_block_bwd": bb == "1",
                   "fused_block_fwd": bf == "1",
+                  "kernel_dropout": kd == "1",
                   "compact_train": ct == "1"}
         try:
             t_c0 = time.perf_counter()

@@ -231,20 +231,35 @@ class TransformerLayer(nn.Module):
             po, p1, p2 = p(self.attn_out), p(self.ffn_in), p(self.ffn_out)
             ln1, ln2 = p(self.attn_ln), p(self.ffn_ln)
             rate = float(self.cfg.hidden_dropout_prob)
-            mask_a = mask_f = None
+            mask_a = mask_f = seed = None
             if rate > 0.0:
-                keep = 1.0 - rate
-                mask_a = jax.random.bernoulli(
-                    self.make_rng("dropout"), keep, x_q.shape
+                from vitxtgqa_tpu.ops.pallas_block_bwd import (
+                    kernel_dropout_enabled,
                 )
-                mask_f = jax.random.bernoulli(
-                    self.make_rng("dropout"), keep, x_q.shape
-                )
+
+                if kernel_dropout_enabled():
+                    # seed mode (tpu.kernel_dropout): one int32 seed per
+                    # layer call; both kernels regenerate the masks
+                    # in-kernel — the ~30 ms/step of threefry+s8-convert
+                    # mask pipelines never runs (round-5 HLO dig)
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (), 0,
+                        jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                    )
+                else:
+                    keep = 1.0 - rate
+                    mask_a = jax.random.bernoulli(
+                        self.make_rng("dropout"), keep, x_q.shape
+                    )
+                    mask_f = jax.random.bernoulli(
+                        self.make_rng("dropout"), keep, x_q.shape
+                    )
             y = block_train(
                 x_q, ctx, po["kernel"], po["bias"], ln1["scale"],
                 ln1["bias"], p1["kernel"], p1["bias"], p2["kernel"],
                 p2["bias"], ln2["scale"], ln2["bias"], mask_a, mask_f,
                 rate=rate, eps=self.cfg.layer_norm_eps,
+                dropout_seed=seed,
             )
             if tanh_residual_base is not None:
                 y = tanh_residual_base + jnp.tanh(y)

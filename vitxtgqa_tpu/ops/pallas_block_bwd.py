@@ -37,15 +37,29 @@ bf16 resolution).  Saving h instead of recomputing it measured +3.5%
 on the full train step (the in-kernel transcendentals were ~9 ms/step
 — BASELINE.md v1-vs-v2 table).
 
-Dropout: masks are drawn OUTSIDE the custom_vjp (jax.random.bernoulli, same
-semantics as flax ``nn.Dropout``: ``where(mask, x/keep, 0)``) and passed as
-int8 primal inputs, so forward and backward see bit-identical patterns and
-remat regenerates them deterministically — no in-kernel PRNG reproduction
-contract is needed.
+Dropout has two modes:
+
+  * mask mode (default): masks are drawn OUTSIDE the custom_vjp
+    (jax.random.bernoulli, same semantics as flax ``nn.Dropout``:
+    ``where(mask, x/keep, 0)``) and passed as int8 primal inputs, so
+    forward and backward see bit-identical patterns and remat regenerates
+    them deterministically — no in-kernel PRNG reproduction contract.
+  * seed mode (``tpu.kernel_dropout``, round 5): the round-5 HLO dig found
+    the mask threefry+convert pipelines cost ~30 ms/step at batch 48
+    (they surface in the profile as "reshape"-attributed s8 converts
+    under the layer._finish scopes).  In seed mode the caller passes ONE
+    int32 seed per layer call and both kernels regenerate the keep-masks
+    in-kernel from ``pltpu.prng_seed(seed, row-block id)`` — the same
+    regeneration contract the flash-attention kernels already use
+    (ops/pallas_attention._dropout_keep).  The fwd rule, the primal
+    (which IS the DCE'd fwd rule), the remat recompute, and the backward
+    all draw the identical stream, so masks agree bit-for-bit without
+    ever being materialised in HBM.  Keep-probability quantisation is
+    1/2^32 (threshold compare on raw u32 bits — statistically exact).
 
 Opt-in via ``training_parameters.tpu.fused_block_bwd``
 (models.common.set_fused_block_bwd); measured A/B lives in
-tools/bench_train.py (BENCH_FUSED_BLOCK_BWD).
+tools/bench_train.py (BENCH_FUSED_BLOCK_BWD / BENCH_KERNEL_DROPOUT).
 """
 
 from __future__ import annotations
@@ -202,15 +216,58 @@ def block_recompute_fwd_enabled() -> bool:
     return _RECOMPUTE_FWD
 
 
-def _fwd_kernel(x_q_ref, ctx_ref, wo_ref, bo_ref, s1_ref, g1_ref, w1_ref,
-                b1_ref, w2_ref, b2_ref, s2_ref, g2_ref, *rest, rate, eps,
-                has_dropout):
-    if has_dropout:
-        (ma_ref, mf_ref, y_ref, x1h_ref, pre1_ref, h_ref, x2h_ref) = rest
-    else:
-        (y_ref, x1h_ref, pre1_ref, h_ref, x2h_ref) = rest
+_KERNEL_DROPOUT = False
+
+
+def set_kernel_dropout(enabled: bool) -> None:
+    """In-kernel PRNG dropout masks for the fused block (trace-time flag,
+    config tpu.kernel_dropout).  Replaces the two materialised [R, D]
+    masks per layer call with one int32 seed; the fwd and bwd kernels
+    regenerate identical masks from (seed, row-block id) — see the module
+    docstring.  Only meaningful with fused_block_bwd on; the caller
+    (TransformerLayer._finish) additionally requires a TPU backend."""
+    global _KERNEL_DROPOUT
+    _KERNEL_DROPOUT = bool(enabled)
+
+
+def kernel_dropout_enabled() -> bool:
+    return _KERNEL_DROPOUT
+
+
+def _draw_block_masks(seed_ref, shape, rate):
+    """Seed-mode keep masks for one row block: seed once with (call seed,
+    row-block id), then draw attn mask FIRST, ffn mask SECOND — the fwd
+    and bwd kernels must keep this exact order so the streams agree."""
+    from vitxtgqa_tpu.ops.pallas_attention import _dropout_keep
+
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    keep_a = _dropout_keep(shape, rate)
+    keep_f = _dropout_keep(shape, rate)
+    return keep_a, keep_f
+
+
+def _fwd_kernel(*refs, rate, eps, has_dropout, seed_mode=False,
+                emit_masks=False):
+    rest = list(refs)
+    seed_ref = rest.pop(0) if seed_mode else None
+    (x_q_ref, ctx_ref, wo_ref, bo_ref, s1_ref, g1_ref, w1_ref,
+     b1_ref, w2_ref, b2_ref, s2_ref, g2_ref) = rest[:12]
+    rest = rest[12:]
+    ma_ref = mf_ref = None
+    if has_dropout and not seed_mode:
+        ma_ref, mf_ref = rest[:2]
+        rest = rest[2:]
+    (y_ref, x1h_ref, pre1_ref, h_ref, x2h_ref) = rest[:5]
+    rest = rest[5:]
     dt = y_ref.dtype
     keep = 1.0 - rate
+
+    if seed_mode:
+        keep_a, keep_f = _draw_block_masks(seed_ref, x_q_ref.shape, rate)
+        if emit_masks:  # test hook: expose the drawn masks as outputs
+            ma_out, mf_out = rest[:2]
+            ma_out[...] = keep_a.astype(jnp.int8)
+            mf_out[...] = keep_f.astype(jnp.int8)
 
     # attn_out projection: f32 MXU accumulate, round to dt, THEN bias —
     # the exact jnp.dot(ctx, wo) + bo rounding order of the XLA forward
@@ -219,9 +276,8 @@ def _fwd_kernel(x_q_ref, ctx_ref, wo_ref, bo_ref, s1_ref, g1_ref, w1_ref,
         preferred_element_type=jnp.float32,
     ).astype(dt) + bo_ref[...].astype(dt)
     if has_dropout:
-        attn = jnp.where(
-            ma_ref[...] != 0, attn / keep, jnp.zeros_like(attn)
-        )
+        keep_m = keep_a if seed_mode else (ma_ref[...] != 0)
+        attn = jnp.where(keep_m, attn / keep, jnp.zeros_like(attn))
     x1h = x_q_ref[...] + attn
     x1h_ref[...] = x1h
 
@@ -245,9 +301,8 @@ def _fwd_kernel(x_q_ref, ctx_ref, wo_ref, bo_ref, s1_ref, g1_ref, w1_ref,
         preferred_element_type=jnp.float32,
     ).astype(dt) + b2_ref[...].astype(dt)
     if has_dropout:
-        ffn = jnp.where(
-            mf_ref[...] != 0, ffn / keep, jnp.zeros_like(ffn)
-        )
+        keep_m = keep_f if seed_mode else (mf_ref[...] != 0)
+        ffn = jnp.where(keep_m, ffn / keep, jnp.zeros_like(ffn))
     x2h = x + ffn
     x2h_ref[...] = x2h
 
@@ -260,11 +315,13 @@ def _fwd_kernel(x_q_ref, ctx_ref, wo_ref, bo_ref, s1_ref, g1_ref, w1_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rate", "eps", "interpret", "has_dropout", "block_r"),
+    static_argnames=("rate", "eps", "interpret", "has_dropout", "block_r",
+                     "seed_mode", "emit_masks"),
 )
 def _fwd_impl(x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2, g2, mask_a,
               mask_f, rate: float, eps: float, interpret: bool,
-              has_dropout: bool, block_r: int):
+              has_dropout: bool, block_r: int, seed=None,
+              seed_mode: bool = False, emit_masks: bool = False):
     dt = x_q.dtype
     d = x_q.shape[-1]
     m = w1.shape[-1]
@@ -285,7 +342,10 @@ def _fwd_impl(x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2, g2, mask_a,
               w1.astype(dt), b1.astype(jnp.float32)[None, :],
               w2.astype(dt), b2.astype(jnp.float32)[None, :],
               vec(s2), vec(g2)]
-    if has_dropout:
+    if seed_mode:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        inputs = [jnp.asarray(seed, jnp.int32).reshape(1)] + inputs
+    elif has_dropout:
         in_specs += [row(d), row(d)]
         inputs += [pad(mask_a), pad(mask_f)]
     out_specs = [row(d), row(d), row(m), row(m), row(d)]
@@ -296,9 +356,13 @@ def _fwd_impl(x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2, g2, mask_a,
         jax.ShapeDtypeStruct((rp, m), dt),   # h
         jax.ShapeDtypeStruct((rp, d), dt),   # x2h
     ]
+    if emit_masks:
+        out_specs += [row(d), row(d)]
+        out_shape += [jax.ShapeDtypeStruct((rp, d), jnp.int8)] * 2
     outs = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, rate=rate, eps=eps, has_dropout=has_dropout
+            _fwd_kernel, rate=rate, eps=eps, has_dropout=has_dropout,
+            seed_mode=seed_mode, emit_masks=emit_masks,
         ),
         grid=(rp // block_r,),
         in_specs=in_specs,
@@ -316,7 +380,10 @@ def _fwd_impl(x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2, g2, mask_a,
         ),
         interpret=interpret,
     )(*inputs)
-    y, x1h, pre1, h, x2h = outs
+    y, x1h, pre1, h, x2h = outs[:5]
+    if emit_masks:
+        return (y[:r], x1h[:r], pre1[:r], h[:r], x2h[:r],
+                outs[5][:r], outs[6][:r])
     return y[:r], x1h[:r], pre1[:r], h[:r], x2h[:r]
 
 
@@ -355,11 +422,13 @@ def _forward_residuals_dispatch(x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rate", "eps", "interpret", "has_dropout", "block_r"),
+    static_argnames=("rate", "eps", "interpret", "has_dropout", "block_r",
+                     "seed_mode"),
 )
 def _bwd_impl(g, ctx, x1h, pre1, h, x2h, wo, w1, w2, s1, g1, s2, mask_a,
               mask_f, rate: float, eps: float, interpret: bool,
-              has_dropout: bool, block_r: int):
+              has_dropout: bool, block_r: int, seed=None,
+              seed_mode: bool = False):
     dt = ctx.dtype
     d = ctx.shape[-1]
     m = pre1.shape[-1]
@@ -383,7 +452,10 @@ def _bwd_impl(g, ctx, x1h, pre1, h, x2h, wo, w1, w2, s1, g1, s2, mask_a,
               w2.astype(dt), s1.astype(jnp.float32)[None, :],
               g1.astype(jnp.float32)[None, :],
               s2.astype(jnp.float32)[None, :]]
-    if has_dropout:
+    if seed_mode:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        inputs = [jnp.asarray(seed, jnp.int32).reshape(1)] + inputs
+    elif has_dropout:
         in_specs += [row(d), row(d)]
         inputs += [pad(mask_a), pad(mask_f)]
     f32 = jnp.float32
@@ -411,7 +483,8 @@ def _bwd_impl(g, ctx, x1h, pre1, h, x2h, wo, w1, w2, s1, g1, s2, mask_a,
     ]
     outs = pl.pallas_call(
         functools.partial(
-            _block_bwd_kernel, rate=rate, eps=eps, has_dropout=has_dropout
+            _block_bwd_kernel, rate=rate, eps=eps, has_dropout=has_dropout,
+            seed_mode=seed_mode,
         ),
         grid=(rp // block_r,),
         in_specs=in_specs,
@@ -436,18 +509,25 @@ def _bwd_impl(g, ctx, x1h, pre1, h, x2h, wo, w1, w2, s1, g1, s2, mask_a,
             dw2, db2[0], ds2[0], dg2[0])
 
 
-def _block_bwd_kernel(g_ref, ctx_ref, x1h_ref, pre1_ref, h_ref, x2h_ref,
-                      wo_ref, w1_ref, w2_ref, s1_ref, g1_ref, s2_ref,
-                      *rest, rate, eps, has_dropout):
+def _block_bwd_kernel(*refs, rate, eps, has_dropout, seed_mode=False):
     """Single-pass block backward; weight-grad outputs accumulate across
     the sequential row-block grid (constant index maps)."""
-    if has_dropout:
-        (ma_ref, mf_ref, dxq_ref, dctx_ref, dwo_ref, dbo_ref, ds1_ref,
-         dg1_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, ds2_ref,
-         dg2_ref) = rest
-    else:
-        (dxq_ref, dctx_ref, dwo_ref, dbo_ref, ds1_ref, dg1_ref, dw1_ref,
-         db1_ref, dw2_ref, db2_ref, ds2_ref, dg2_ref) = rest
+    rest = list(refs)
+    seed_ref = rest.pop(0) if seed_mode else None
+    (g_ref, ctx_ref, x1h_ref, pre1_ref, h_ref, x2h_ref,
+     wo_ref, w1_ref, w2_ref, s1_ref, g1_ref, s2_ref) = rest[:12]
+    rest = rest[12:]
+    ma_ref = mf_ref = None
+    if has_dropout and not seed_mode:
+        ma_ref, mf_ref = rest[:2]
+        rest = rest[2:]
+    (dxq_ref, dctx_ref, dwo_ref, dbo_ref, ds1_ref, dg1_ref, dw1_ref,
+     db1_ref, dw2_ref, db2_ref, ds2_ref, dg2_ref) = rest
+
+    if seed_mode:
+        # regenerate the forward's masks: same (seed, row-block) seeding,
+        # same a-then-f draw order as _fwd_kernel
+        keep_a, keep_f = _draw_block_masks(seed_ref, g_ref.shape, rate)
 
     i = pl.program_id(0)
 
@@ -478,8 +558,12 @@ def _block_bwd_kernel(g_ref, ctx_ref, x1h_ref, pre1_ref, h_ref, x2h_ref,
     du2 = _ln_bwd(gf, xhat2, inv2, s2)  # [R, D] fp32
 
     # FFN backward: x2h = x + dropout(h @ w2 + b2)
-    dlin2 = du2 * mf_ref[...].astype(jnp.float32) * inv_keep \
-        if has_dropout else du2
+    if has_dropout:
+        mf = keep_f.astype(jnp.float32) if seed_mode \
+            else mf_ref[...].astype(jnp.float32)
+        dlin2 = du2 * mf * inv_keep
+    else:
+        dlin2 = du2
     db2_ref[...] += jnp.sum(dlin2, axis=0, keepdims=True)
     dlin2_b = dlin2.astype(dt)
     p1 = pre1_ref[...].astype(jnp.float32)  # [R, M]
@@ -514,8 +598,12 @@ def _block_bwd_kernel(g_ref, ctx_ref, x1h_ref, pre1_ref, h_ref, x2h_ref,
     dxq_ref[...] = du1.astype(dxq_ref.dtype)
 
     # attn_out projection backward
-    dlin1 = du1 * ma_ref[...].astype(jnp.float32) * inv_keep \
-        if has_dropout else du1
+    if has_dropout:
+        ma = keep_a.astype(jnp.float32) if seed_mode \
+            else ma_ref[...].astype(jnp.float32)
+        dlin1 = du1 * ma * inv_keep
+    else:
+        dlin1 = du1
     dbo_ref[...] += jnp.sum(dlin1, axis=0, keepdims=True)
     dlin1_b = dlin1.astype(dt)
     dctx_ref[...] = jax.lax.dot_general(  # dlin1 wo^T -> [R, D]
@@ -535,12 +623,22 @@ def _block_bwd_kernel(g_ref, ctx_ref, x1h_ref, pre1_ref, h_ref, x2h_ref,
 
 def block_train(x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2, s2, g2,
                 mask_a=None, mask_f=None, rate: float = 0.0,
-                eps: float = 1e-12, interpret: bool = False):
+                eps: float = 1e-12, interpret: bool = False,
+                dropout_seed=None):
     """Training post-attention block: XLA forward, one-kernel backward.
 
     x_q/ctx [..., D]; wo [D, D]; w1 [D, M]; w2 [M, D]; LN params [D];
     mask_a/mask_f: dropout keep-masks of x_q's shape (bool/int; required
-    iff rate > 0), drawn by the caller so fwd/bwd/remat agree."""
+    iff rate > 0 and no ``dropout_seed``), drawn by the caller so
+    fwd/bwd/remat agree.  ``dropout_seed`` (int32 scalar) selects seed
+    mode instead: both kernels regenerate the masks in-kernel
+    (tpu.kernel_dropout) — the primal forward then also runs the Pallas
+    kernel, so it requires a TPU backend (or interpret=True)."""
+    if rate > 0.0 and dropout_seed is not None:
+        return _block_seed(
+            rate, eps, interpret, x_q, ctx, wo, bo, s1, g1, w1, b1, w2,
+            b2, s2, g2, jnp.asarray(dropout_seed, jnp.int32),
+        )
     if rate > 0.0:
         return _block_do(
             rate, eps, interpret, x_q, ctx, wo, bo, s1, g1, w1, b1, w2,
@@ -623,6 +721,69 @@ def _block_nodo_bwd(eps, interpret, res, g):
 
 
 _block_nodo.defvjp(_block_nodo_fwd, _block_nodo_bwd)
+
+
+# ---- seed mode: in-kernel PRNG dropout (tpu.kernel_dropout) --------------
+
+
+def _seed_fwd_parts(rate, eps, interpret, x_q, ctx, wo, bo, s1, g1, w1, b1,
+                    w2, b2, s2, g2, seed):
+    d = x_q.shape[-1]
+    m = w1.shape[-1]
+    dt = x_q.dtype
+    shape = x_q.shape
+    flat = lambda a, w: a.reshape(-1, w)
+    y, x1h, pre1, h, x2h = _fwd_impl(
+        flat(x_q, d), flat(ctx, d), wo, bo, s1, g1, w1, b1, w2, b2, s2,
+        g2, None, None, rate=rate, eps=eps, interpret=interpret,
+        has_dropout=True, block_r=_block_r(), seed=seed, seed_mode=True,
+    )
+    unflat = lambda a, w: a.reshape(shape[:-1] + (w,))
+    return unflat(y, d), (
+        ctx.astype(dt), unflat(x1h, d), unflat(pre1, m), unflat(h, m),
+        unflat(x2h, d),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _block_seed(rate, eps, interpret, x_q, ctx, wo, bo, s1, g1, w1, b1,
+                w2, b2, s2, g2, seed):
+    # the primal IS the fwd-rule kernel with the residual outputs DCE'd —
+    # primal, recompute and backward all draw the same in-kernel stream
+    y, _ = _seed_fwd_parts(rate, eps, interpret, x_q, ctx, wo, bo, s1, g1,
+                           w1, b1, w2, b2, s2, g2, seed)
+    return y
+
+
+def _block_seed_fwd(rate, eps, interpret, x_q, ctx, wo, bo, s1, g1, w1,
+                    b1, w2, b2, s2, g2, seed):
+    y, (ctxb, x1h, pre1, h, x2h) = _seed_fwd_parts(
+        rate, eps, interpret, x_q, ctx, wo, bo, s1, g1, w1, b1, w2, b2,
+        s2, g2, seed,
+    )
+    wdt = (wo, w1, w2, s1, g1, s2)
+    return y, ((wdt, ctxb, x1h, pre1, h, x2h), seed)
+
+
+def _block_seed_bwd(rate, eps, interpret, res, g):
+    (wdt, ctx, x1h, pre1, h, x2h), seed = res
+    d = ctx.shape[-1]
+    _flat = _flatten
+    outs = _bwd_impl(
+        _flat(g, d), _flat(ctx, d), _flat(x1h, d),
+        _flat(pre1, pre1.shape[-1]), _flat(h, h.shape[-1]),
+        _flat(x2h, d), *wdt, None, None,
+        rate=rate, eps=eps, interpret=interpret, has_dropout=True,
+        block_r=_block_r(), seed=seed, seed_mode=True,
+    )
+    (dxq, dctx, dwo, dbo, ds1, dg1, dw1, db1, dw2, db2, ds2, dg2) = outs
+    dxq = dxq.reshape(g.shape).astype(g.dtype)
+    dctx = dctx.reshape(g.shape).astype(ctx.dtype)
+    return (dxq, dctx, dwo, dbo, ds1, dg1, dw1, db1, dw2, db2, ds2, dg2,
+            np.zeros((), dtype=jax.dtypes.float0))
+
+
+_block_seed.defvjp(_block_seed_fwd, _block_seed_bwd)
 
 
 def block_bwd_kernel_ok(d: int, m: int) -> bool:

@@ -295,6 +295,17 @@ class BaseTrainer:
                 "Pallas block recompute-forward enabled "
                 "(see set_block_recompute_fwd)"
             )
+        from vitxtgqa_tpu.ops.pallas_block_bwd import set_kernel_dropout
+
+        set_kernel_dropout(
+            bool(tpu_cfg is not None
+                 and getattr(tpu_cfg, "kernel_dropout", False))
+        )
+        if tpu_cfg is not None and getattr(tpu_cfg, "kernel_dropout", False):
+            self.logger.write(
+                "in-kernel PRNG dropout masks enabled for the fused block "
+                "(see set_kernel_dropout)"
+            )
         # unconditional like the flags above: a prior in-process tool that
         # raises the cap (e.g. tools/ab_fused_decode.py) must not poison
         # this trainer's decode-path choice
