@@ -66,16 +66,17 @@ def test_resume_from_checkpoint(fixture_data, tmp_path, repo_root):
     from tools.run import run
     from vitxtgqa_tpu.core.registry import registry
 
-    common = [
+    flags = [
         "--config", os.path.join(repo_root, "configs", "m4c_abinet.yml"),
         "--model", "m4c", "--datasets", "vtextgqa",
-    ] + _opts(fixture_data, tmp_path, "m4c")
+    ]
+    opts = _opts(fixture_data, tmp_path, "m4c")
 
     registry.clear_state()
-    run(common + ["--run_type", "train",
-                  "training_parameters.max_iterations=2",
-                  "training_parameters.log_interval=10",
-                  "training_parameters.snapshot_interval=2"])
+    run(flags + ["--run_type", "train"] + opts
+        + ["training_parameters.max_iterations=2",
+           "training_parameters.log_interval=10",
+           "training_parameters.snapshot_interval=2"])
     best = os.path.join(str(tmp_path), "save", "ckpt", "best")
     assert os.path.exists(best)
     import json
@@ -85,15 +86,23 @@ def test_resume_from_checkpoint(fixture_data, tmp_path, repo_root):
     assert "epoch" in meta  # resume restores the epoch-seeded data shuffle
 
     registry.clear_state()
-    resume_args = common[:8] + ["--run_type", "train", "--resume_file", best] + common[8:]
+    # flags must precede the dotted opts — the original form appended
+    # --run_type/--resume_file after two overrides, which argparse's
+    # REMAINDER silently swallowed (the "resume" trained from scratch
+    # and the iteration assert passed vacuously) until core/flags.py
+    # started erroring on flags inside the opts remainder
     trainer = run(
-        resume_args
+        flags + ["--run_type", "train", "--resume_file", best] + opts
         + ["training_parameters.max_iterations=3",
            "training_parameters.log_interval=10",
            "training_parameters.snapshot_interval=10"]
     )
-    # resumed at iteration 2, ran one more step
-    assert trainer.iteration == 3
+    # resumed at 2, ran one more step, finalize restored BEST (which
+    # also restores the iteration counter — best may remain iteration
+    # 2's); the model_3 snapshot proves the resumed step ran
+    trainer.checkpoint.wait()
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "save", "ckpt", "models", "model_3"))
 
 
 @pytest.mark.slow

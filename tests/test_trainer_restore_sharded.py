@@ -24,10 +24,17 @@ def fixture_data(repo_root):
     return FIXROOT
 
 
-def _args(fixture_data, tmp_path, repo_root):
+def _args(fixture_data, tmp_path, repo_root, flags=()):
+    # extra flags (e.g. --resume_file) must precede the dotted opts —
+    # argparse's REMAINDER swallows flags after the first override token
+    # (core/flags.py errors on it since round 5; the original form of the
+    # resume test below appended --resume_file AFTER the opts, so the
+    # "resumed" trainer silently trained from scratch and the iteration
+    # assert passed vacuously)
     return [
         "--config", os.path.join(repo_root, "configs", "m4c_abinet.yml"),
         "--model", "m4c", "--datasets", "vtextgqa", "--run_type", "train",
+        *flags,
         f"dataset_attributes.vtextgqa.data_root_dir={fixture_data}",
         "training_parameters.batch_size=2",
         "training_parameters.num_workers=0",
@@ -71,14 +78,31 @@ def test_resume_restores_model_axis_sharding(fixture_data, tmp_path, repo_root):
     trainer.checkpoint.wait()
     assert os.path.exists(snap)
 
+    import numpy as np
+
+    saved = jax.tree.map(np.asarray, trainer.params)
     registry.clear_state()
     resumed = run(
-        _args(fixture_data, tmp_path, repo_root)
-        + ["--resume_file", snap,
-           "training_parameters.max_iterations=3",
+        _args(fixture_data, tmp_path, repo_root,
+              flags=("--resume_file", snap))
+        + ["training_parameters.max_iterations=3",
            "training_parameters.snapshot_interval=10"]
     )
-    assert resumed.iteration == 3  # resumed at 2, ran one more step
+    # resumed at 2, ran one more step, then finalize() restored BEST —
+    # which also restores the iteration counter (reference
+    # base_trainer.py:280-291), so the trained-step evidence is the
+    # model_3 snapshot finalize writes: it must exist and differ from
+    # the resume point (guards the vacuous-pass mode the original test
+    # had, where a swallowed --resume_file trained 3 fresh iterations)
+    resumed.checkpoint.wait()
+    snap3 = os.path.join(str(tmp_path), "save", "ckpt", "models", "model_3")
+    assert os.path.exists(snap3), snap3
+    stepped = jax.tree_util.tree_leaves(jax.tree.map(
+        np.asarray, resumed.checkpoint.load(snap3)["params"]))
+    assert any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(saved), stepped)
+    ), "resume ran no optimizer step"
 
     # restored params carry their mesh partitioning: at least one kernel is
     # model-axis sharded (not a host-replicated copy that was re-put)

@@ -36,6 +36,26 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "opts",
         nargs=argparse.REMAINDER,
+        action=_OptsAction,
         help="dotted-path overrides: key value [key value ...]",
     )
     return parser
+
+
+class _OptsAction(argparse.Action):
+    """REMAINDER swallows EVERYTHING after the first dotted token — a
+    `--resume_file` placed after an override is silently eaten and the
+    trainer starts fresh (this bit twice: the round-4 mode-diff harness
+    and the round-5 dryrun ckpt section, whose resume arm trained from
+    scratch while its iteration assert passed vacuously).  Fail loudly
+    instead: flag-looking tokens are never valid dotted overrides."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        bad = [v for v in values if v.startswith("--")]
+        if bad:
+            parser.error(
+                f"flags must precede dotted opts; found {bad} inside the "
+                "opts remainder (argparse swallows flags after the first "
+                "override token)"
+            )
+        setattr(namespace, self.dest, values)
