@@ -272,6 +272,15 @@ def _run_train_bench(batch_size: int, use_pallas: bool):
         os.environ.get("BENCH_FUSED_BLOCK_FWD", "1") == "1" and fused_bwd
     )
     set_block_recompute_fwd(fused_fwd)
+    # in-kernel PRNG dropout masks (+8.4/+8.8% both A/B orders at batch
+    # 48; estimator-preservation controlled by
+    # tools/kernel_dropout_check.py — see BASELINE.md)
+    from vitxtgqa_tpu.ops.pallas_block_bwd import set_kernel_dropout
+
+    kernel_do = (
+        os.environ.get("BENCH_KERNEL_DROPOUT", "1") == "1" and fused_bwd
+    )
+    set_kernel_dropout(kernel_do)
 
     cfg = build_config(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -354,6 +363,7 @@ def _run_train_bench(batch_size: int, use_pallas: bool):
         "variant_scan": True,
         "fused_block_bwd": fused_bwd,
         "fused_block_fwd": fused_fwd,
+        "kernel_dropout": kernel_do,
     }
 
 
