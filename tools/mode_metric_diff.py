@@ -22,8 +22,12 @@ modes fall back and the diff degenerates to ~0).
 
 Env knobs: MODE_DIFF_STEPS (default 300), MODE_DIFF_BATCH (train batch,
 default 12), MODE_DIFF_VIDEOS (fixture train videos, default 32),
-MODE_DIFF_ROOT (reuse an existing fixture root), MODE_DIFF_MODES
-(comma list from exact,compact,w8a8 — default all three).
+MODE_DIFF_ROOT (reuse an existing fixture root — single-seed runs only),
+MODE_DIFF_MODES (comma list from exact,compact,w8a8 — default all three),
+MODE_DIFF_SEEDS (comma list, default "13,29" — each seed generates its
+own fixture set AND training run, so the six-metric bound is replicated
+across independent data + weights, not anecdotal; the artifact carries
+every seed plus a cross-seed max-|delta| summary).
 """
 
 from __future__ import annotations
@@ -41,6 +45,7 @@ STEPS = int(os.environ.get("MODE_DIFF_STEPS", "300"))
 TRAIN_BATCH = int(os.environ.get("MODE_DIFF_BATCH", "12"))
 N_VIDEOS = int(os.environ.get("MODE_DIFF_VIDEOS", "32"))
 MODES = os.environ.get("MODE_DIFF_MODES", "exact,compact,w8a8").split(",")
+SEEDS = [int(s) for s in os.environ.get("MODE_DIFF_SEEDS", "13,29").split(",")]
 
 
 def _build_trainer(opts):
@@ -60,23 +65,18 @@ def _build_trainer(opts):
     return trainer
 
 
-def main():
-    import jax
-
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", "/tmp/vitxtgqa_jax_cache"
-    )
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    fixroot = os.environ.get("MODE_DIFF_ROOT")
+def run_seed(seed: int):
+    """One full train + three-mode eval at ``seed`` (fixture generation
+    AND trainer rng both derive from it); returns the result dict."""
+    fixroot = os.environ.get("MODE_DIFF_ROOT") if len(SEEDS) == 1 else None
     if not fixroot:
-        fixroot = os.path.join(tempfile.mkdtemp(prefix="modediff_"), "data")
+        fixroot = os.path.join(
+            tempfile.mkdtemp(prefix=f"modediff_s{seed}_"), "data"
+        )
         subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "make_fixtures.py"),
              "--root", fixroot, "--feat_dim", "1024",
-             "--n_videos", str(N_VIDEOS)],
+             "--seed", str(seed), "--n_videos", str(N_VIDEOS)],
             check=True, cwd=REPO,
         )
     save_dir = tempfile.mkdtemp(prefix="modediff_save_")
@@ -91,7 +91,7 @@ def main():
         f"dataset_attributes.vtextgqa.data_root_dir={fixroot}",
         "training_parameters.num_workers=0",
         f"training_parameters.save_dir={save_dir}",
-        "training_parameters.seed=13",
+        f"training_parameters.seed={seed}",
         "training_parameters.tpu.use_pallas=True",
         "training_parameters.tpu.kv_cache_int8=True",
         "training_parameters.evalai_inference=False",
@@ -145,14 +145,45 @@ def main():
                 for k, v in base.items()
             }
 
-    out = {
-        "metric": "mode_metric_diff",
+    return {
+        "seed": seed,
         "steps": STEPS,
         "train_batch": TRAIN_BATCH,
         "fixture_root": fixroot,
         "n_val_samples": len(trainer.datasets.get("val", [])),
         "results": results,
         "deltas_vs_exact": deltas,
+    }
+
+
+def main():
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/vitxtgqa_jax_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    per_seed = {}
+    for seed in SEEDS:
+        print(f"=== seed {seed} ===", file=sys.stderr, flush=True)
+        per_seed[str(seed)] = run_seed(seed)
+
+    # cross-seed summary: worst-case |delta| per metric per mode — the
+    # replicated bound the artifact certifies
+    max_abs = {}
+    for rec in per_seed.values():
+        for mode, d in rec["deltas_vs_exact"].items():
+            dst = max_abs.setdefault(mode, {})
+            for k, v in d.items():
+                dst[k] = round(max(dst.get(k, 0.0), abs(v)), 6)
+    out = {
+        "metric": "mode_metric_diff",
+        "seeds": SEEDS,
+        "per_seed": per_seed,
+        "max_abs_delta_vs_exact": max_abs,
     }
     with open(os.path.join(REPO, "MODEDIFF.json"), "w") as f:
         json.dump(out, f, indent=1)
