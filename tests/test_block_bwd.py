@@ -365,3 +365,47 @@ def test_recompute_fwd_primal_is_fwd_rule(_recompute_fwd_flag):
     assert fwd_eqns, top_prims
     assert len(fwd_eqns[0].outvars) == 1  # y only; residuals DCE'd at
     # the jit-output level (the pallas_call inside still writes them)
+
+
+def test_kernel_dropout_flag_safe_off_tpu():
+    """tpu.kernel_dropout (in-kernel PRNG masks, seed mode) is gated to
+    TPU backends by TransformerLayer._fused_block_bwd_ok: with the flag
+    set on a CPU backend the layer takes the plain XLA path, produces
+    bit-identical outputs, and never draws the seed (hardware behaviour
+    is validated by scripts/validate_block_kernel_dropout.py)."""
+    from vitxtgqa_tpu.models.common import (
+        TransformerConfig,
+        TransformerLayer,
+        set_fused_block_bwd,
+    )
+    from vitxtgqa_tpu.ops.masks import joint_mask_spec
+    from vitxtgqa_tpu.ops.pallas_block_bwd import set_kernel_dropout
+
+    cfg = TransformerConfig(
+        hidden_size=64, num_hidden_layers=1, num_attention_heads=4,
+        intermediate_size=128, hidden_dropout_prob=0.1,
+    )
+    layer = TransformerLayer(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 24, 64))
+    spec = joint_mask_spec(jnp.ones((2, 20), jnp.float32), 4)
+    params = layer.init(
+        {"params": jax.random.key(1), "dropout": jax.random.key(2)},
+        x, spec, deterministic=False,
+    )["params"]
+
+    def fwd():
+        return layer.apply(
+            {"params": params}, x, spec, deterministic=False,
+            rngs={"dropout": jax.random.key(7)},
+        )
+
+    set_fused_block_bwd(True)
+    try:
+        set_kernel_dropout(False)
+        base = np.asarray(fwd())
+        set_kernel_dropout(True)
+        with_flag = np.asarray(fwd())
+    finally:
+        set_kernel_dropout(False)
+        set_fused_block_bwd(False)
+    np.testing.assert_array_equal(base, with_flag)
