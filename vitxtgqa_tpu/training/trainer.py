@@ -388,6 +388,37 @@ class BaseTrainer:
             data=data_ax, model=model_ax, sp=sp_ax, pp=pp_ax,
             batch_size=int(tp.batch_size),
         )
+        # Pallas kernels under plain GSPMD jit REPLICATE: XLA has no
+        # partitioning rule for pallas_call, so a dp/tp/pp-sharded step
+        # all-gathers the kernel inputs and runs the full-batch kernel on
+        # every device (measured in a round-5 probe: sharded input in,
+        # PartitionSpec() out) — silently destroying data-parallel
+        # scaling.  Until the hot kernels are shard_map-wrapped over the
+        # data axis (ROADMAP), multi-device batch/model/pipeline meshes
+        # fall back to the sharded XLA paths; sp-only meshes keep Pallas
+        # (sequence parallelism already routes attention through its own
+        # shard_map).  int8 KV goes with it: without the decode kernel
+        # the int8 cache pays a per-step dequantize pass.
+        spmd_devs = (
+            dict(self.mesh.shape).get("data", 1)
+            * dict(self.mesh.shape).get("model", 1)
+            * dict(self.mesh.shape).get("pp", 1)
+        )
+        if spmd_devs > 1:
+            from vitxtgqa_tpu.ops.attention import (
+                pallas_enabled,
+                set_use_pallas,
+            )
+
+            if pallas_enabled():
+                set_use_pallas(False)
+                set_kv_cache_int8(False)
+                self.logger.write(
+                    f"Pallas kernels disabled on the {spmd_devs}-device "
+                    "dp x tp x pp mesh (pallas_call replicates under "
+                    "GSPMD; XLA paths shard correctly — see ROADMAP "
+                    "shard_map-wrapping candidate)"
+                )
         if sp_ax > 1:
             from vitxtgqa_tpu.ops.attention import set_sequence_parallel
 
