@@ -53,6 +53,8 @@ def _reset_trace_time_globals():
     from vitxtgqa_tpu.ops import pallas_block_bwd as _pbb
 
     _pbb.set_block_recompute_fwd(False)
+    _pbb.set_kernel_dropout(False)
+    _attention.set_use_pallas(False)
     _common.set_remat(False)
     _common.set_pipeline(None)
     _attention.set_w8a8(False)
