@@ -16,7 +16,12 @@ group pays an RPC + tens-of-MB feature H2D per step call — the demo's
 absolute latencies (p50 ~850 ms) measure the tunnel, not the engine
 (the same batch-48 step with a resident batch is ~57 ms wall,
 tools/bench_latency.py).  On a locally attached chip H2D rides PCIe/
-links at GB/s and the batching window dominates as intended.
+links at GB/s and the batching window dominates as intended.  The
+engine-vs-direct overhead question is settled by tools/bench_engine.py
+(ENGINE_CERT.json, round 5): with identical per-step H2D work the
+engine is FASTER than a direct loop on every production arm (-2% to
+-31%) — its dispatch thread overlaps group n+1's H2D with group n's
+compute.
 """
 
 from __future__ import annotations
